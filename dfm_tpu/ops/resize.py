@@ -11,6 +11,8 @@ instead of scatter/gather resize kernels.
 
 import functools
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,7 +61,10 @@ def resize_linear(x, out_sizes, axes, align_corners=True):
         if in_size == out_size:
             continue
         w = interp_matrix(in_size, out_size, align_corners, x.dtype)
-        x = jnp.tensordot(w, jnp.moveaxis(x, axis, 0), axes=((1,), (0,)))
+        # full-precision contraction: the default (bf16) matmul precision
+        # visibly quantizes interpolation weights
+        x = jnp.tensordot(w, jnp.moveaxis(x, axis, 0), axes=((1,), (0,)),
+                          precision=jax.lax.Precision.HIGHEST)
         x = jnp.moveaxis(x, 0, axis)
     return x
 
