@@ -111,7 +111,11 @@ def anchor_targets_single_class(anchors,
     pos = assigned > 0
     neg = assigned == 0
     gt_idx = jnp.maximum(assigned - 1, 0)
-    matched_gt = gt_boxes[gt_idx]                       # (A, 7)
+    # substitute the anchor itself for non-positives *before* encoding:
+    # padded gts are all-zero and log(0/wa) would poison gradients even
+    # through a masking `where` (NaN * 0 = NaN in the backward pass)
+    matched_gt = jnp.where(
+        pos[:, None], gt_boxes[gt_idx], anchors)        # (A, 7)
 
     labels = jnp.where(pos, class_id, num_classes).astype(jnp.int32)
     label_weights = (pos | neg).astype(jnp.float32)

@@ -1,0 +1,247 @@
+"""BEV anchor head (flax) — LIGA variant + base Anchor3DHead semantics.
+
+Equivalent of the reference's `Anchor3DHead` / `LIGAAnchor3DHead`
+(mmdet3d/models/dense_heads/{anchor3d_head.py, liga_anchor3d_head.py}):
+shared conv towers, cls/reg/dir branches, per-class MaxIoU target
+assignment, sin-difference rotation encoding, direction-bin loss,
+decoded-box rotated-3D-IoU loss, and fixed-shape multi-class rotated NMS
+at inference.
+
+All training targets are computed with static shapes (padded GT + masks,
+see dfm_tpu.core.targets); the cross-device loss-normalizer mean
+(reference `dist_reduce_mean`) becomes a `jax.lax.pmean` when an axis
+name is present, and is a no-op otherwise.
+"""
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import losses as L
+from ...core.coders import delta_xyzwlhr_decode, delta_xyzwlhr_encode
+from ...core.nms import box3d_multiclass_nms
+from ...core.targets import add_sin_difference, anchor_targets_single_class
+from ...core.transforms import limit_period
+
+
+class LIGAAnchor3DHead(nn.Module):
+    """Forward module: input BEV features (B, Ny, Nx, C)."""
+    num_classes: int = 3
+    feat_channels: int = 64
+    num_convs: int = 2
+    num_anchors: int = 6          # num_sizes * num_rots
+    box_code_size: int = 7
+    use_direction_classifier: bool = True
+    norm: str = 'gn'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ..layers import ConvNorm
+        cls_feats = x
+        reg_feats = x
+        for i in range(self.num_convs):
+            cls_feats = ConvNorm(self.feat_channels, (3, 3), norm=self.norm,
+                                 dtype=self.dtype,
+                                 name=f'cls_conv{i}')(cls_feats, train)
+            reg_feats = ConvNorm(self.feat_channels, (3, 3), norm=self.norm,
+                                 dtype=self.dtype,
+                                 name=f'reg_conv{i}')(reg_feats, train)
+        cls_score = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                            dtype=self.dtype, name='conv_cls')(cls_feats)
+        bbox_pred = nn.Conv(self.num_anchors * self.box_code_size, (3, 3),
+                            dtype=self.dtype, name='conv_reg')(reg_feats)
+        dir_pred = None
+        if self.use_direction_classifier:
+            dir_pred = nn.Conv(self.num_anchors * 2, (1, 1),
+                               dtype=self.dtype, name='conv_dir')(cls_feats)
+        return cls_score, bbox_pred, dir_pred
+
+
+def anchor3d_head_targets(anchors_per_class,
+                          gt_boxes,
+                          gt_labels,
+                          gt_mask,
+                          assigner_cfgs,
+                          num_classes,
+                          dir_offset=0.7854):
+    """Per-class assignment (reference `anchor_target_3d` with
+    assign_per_class=True).
+
+    Args:
+        anchors_per_class: list of (A_c, 7) per class.
+        gt_boxes: (G, 7) padded; gt_labels: (G,); gt_mask: (G,).
+        assigner_cfgs: per-class dicts (pos_iou_thr, neg_iou_thr,
+            min_pos_iou).
+
+    Returns:
+        per-class list of target dicts + total pos/neg counts.
+    """
+    out = []
+    total_pos = 0.
+    total_neg = 0.
+    for cls_id, (anchors, cfg) in enumerate(
+            zip(anchors_per_class, assigner_cfgs)):
+        cls_gt_mask = gt_mask & (gt_labels == cls_id)
+        t = anchor_targets_single_class(
+            anchors, gt_boxes, cls_gt_mask,
+            cfg['pos_iou_thr'], cfg['neg_iou_thr'], cfg['min_pos_iou'],
+            class_id=cls_id, num_classes=num_classes, dir_offset=dir_offset)
+        total_pos = total_pos + t['pos_mask'].sum()
+        total_neg = total_neg + (t['labels'] == num_classes).sum()
+        out.append(t)
+    return out, total_pos, total_neg
+
+
+def anchor3d_head_loss(preds,
+                       anchors_per_class,
+                       gt_boxes,
+                       gt_labels,
+                       gt_mask,
+                       assigner_cfgs,
+                       num_classes=3,
+                       dir_offset=0.7854,
+                       loss_weights=(1.0, 0.5, 0.2, 1.0),
+                       normalizer_clamp_value=10.0,
+                       use_iou_loss=True,
+                       axis_name=None):
+    """LIGAAnchor3DHead.loss (reference liga_anchor3d_head.py:130-226),
+    batched + static shape.
+
+    Args:
+        preds: (cls_score, bbox_pred, dir_pred) from the head, each
+            (B, Ny, Nx, num_anchors * X) with anchor order (size, rot).
+        anchors_per_class: list of (A_c, 7) flat per-class anchors whose
+            flattening order matches the head outputs (y, x, rot).
+        gt_boxes: (B, G, 7); gt_labels: (B, G); gt_mask: (B, G).
+
+    Returns:
+        dict of scalar losses.
+    """
+    cls_score, bbox_pred, dir_pred = preds
+    b = cls_score.shape[0]
+    num_rot = anchors_per_class[0].shape[0] // (
+        cls_score.shape[1] * cls_score.shape[2])
+
+    def reshape_per_class(x, per_anchor):
+        # (B, Ny, Nx, S*R*per) -> per-class (B, Ny*Nx*R, per)
+        x = x.reshape(b, -1, num_classes, num_rot, per_anchor)
+        return [x[:, :, c].reshape(b, -1, per_anchor)
+                for c in range(num_classes)]
+
+    cls_per = reshape_per_class(cls_score.astype(jnp.float32), num_classes)
+    box_per = reshape_per_class(bbox_pred.astype(jnp.float32), 7)
+    dir_per = reshape_per_class(dir_pred.astype(jnp.float32), 2) \
+        if dir_pred is not None else [None] * num_classes
+
+    # per-sample targets (vmap over batch)
+    def sample_targets(gt_b, gl_b, gm_b):
+        return anchor3d_head_targets(anchors_per_class, gt_b, gl_b, gm_b,
+                                     assigner_cfgs, num_classes, dir_offset)
+
+    targets, pos, neg = jax.vmap(sample_targets)(gt_boxes, gt_labels, gt_mask)
+
+    # Loss normalizers. The reference divides per-rank losses by
+    # dist_reduce_mean(local pos+neg) and DDP-averages gradients; under a
+    # single global-batch jit the equivalent is normalizing the global
+    # loss sum by the global count (pmean only needed under shard_map).
+    num_total = (pos + neg).sum()
+    if axis_name is not None:
+        num_total = jax.lax.pmean(num_total, axis_name)
+    avg_cls = num_total + normalizer_clamp_value
+    avg_reg = jnp.maximum(num_total, normalizer_clamp_value)
+
+    loss_cls = 0.
+    loss_bbox = 0.
+    loss_dir = 0.
+    loss_iou = 0.
+    for c in range(num_classes):
+        t = targets[c]
+        anchors = jnp.broadcast_to(
+            anchors_per_class[c][None], (b,) + anchors_per_class[c].shape)
+        loss_cls += L.sigmoid_focal_loss(
+            cls_per[c], t['labels'], t['label_weights'], avg_factor=avg_cls)
+
+        pos_w = t['bbox_weights'][..., None]
+        pred_sin, target_sin = add_sin_difference(box_per[c],
+                                                  t['bbox_targets'])
+        loss_bbox += L.smooth_l1_loss(
+            pred_sin, target_sin, pos_w, beta=1.0 / 9.0, avg_factor=avg_reg)
+
+        if dir_per[c] is not None:
+            loss_dir += L.softmax_cross_entropy(
+                dir_per[c], t['dir_targets'], t['dir_weights'],
+                avg_factor=avg_reg)
+
+        if use_iou_loss:
+            decoded_pred = delta_xyzwlhr_decode(anchors, box_per[c])
+            decoded_tgt = delta_xyzwlhr_decode(anchors, t['bbox_targets'])
+            # mask non-positives by substituting the anchor itself
+            # (iou == 1 -> zero loss) to keep static shapes
+            msk = t['pos_mask'][..., None]
+            decoded_pred = jnp.where(msk, decoded_pred, anchors)
+            decoded_tgt = jnp.where(msk, decoded_tgt, anchors)
+            flat_p = decoded_pred.reshape(-1, 7)
+            flat_t = decoded_tgt.reshape(-1, 7)
+            loss_iou += L.iou3d_loss(flat_p, flat_t, avg_factor=avg_reg)
+
+    out = {'loss_cls': loss_weights[0] * loss_cls,
+           'loss_bbox': loss_weights[1] * loss_bbox,
+           'loss_dir': loss_weights[2] * loss_dir}
+    if use_iou_loss:
+        out['loss_iou'] = loss_weights[3] * loss_iou
+    return out
+
+
+def anchor3d_head_get_bboxes(preds,
+                             flat_anchors,
+                             num_classes=3,
+                             dir_offset=0.7854,
+                             dir_limit_offset=0.0,
+                             score_thr=0.1,
+                             nms_thr=0.25,
+                             nms_pre=1024,
+                             max_num=500):
+    """Decode + multi-class rotated NMS (reference
+    anchor3d_head.py:407-547), static shapes, batched.
+
+    Args:
+        preds: head outputs (B, Ny, Nx, ...).
+        flat_anchors: (A, 7) with A = Ny*Nx*num_anchors, order matching
+            the head's channel layout.
+
+    Returns:
+        dict of (B, max_num, ...) padded detections + mask.
+    """
+    cls_score, bbox_pred, dir_pred = preds
+    b = cls_score.shape[0]
+    a = flat_anchors.shape[0]
+    scores = jax.nn.sigmoid(cls_score.astype(jnp.float32)).reshape(
+        b, a, num_classes)
+    deltas = bbox_pred.astype(jnp.float32).reshape(b, a, 7)
+    dir_score = jnp.argmax(dir_pred.reshape(b, a, 2), axis=-1) \
+        if dir_pred is not None else jnp.zeros((b, a), jnp.int32)
+
+    def single(scores_i, deltas_i, dir_i):
+        max_scores = scores_i.max(axis=-1)
+        k = min(nms_pre, a)
+        _, topk = jax.lax.top_k(max_scores, k)
+        anchors_k = flat_anchors[topk]
+        boxes = delta_xyzwlhr_decode(anchors_k, deltas_i[topk])
+        bev = boxes[:, [0, 1, 3, 4, 6]]
+        out = box3d_multiclass_nms(
+            boxes, bev, scores_i[topk], score_thr, nms_thr, max_num,
+            dir_scores=dir_i[topk])
+        # direction correction
+        yaw = out['boxes3d'][:, 6]
+        dir_rot = limit_period(yaw - dir_offset, dir_limit_offset, np.pi)
+        yaw = dir_rot + dir_offset + np.pi * out['dir_scores'].astype(
+            yaw.dtype)
+        out['boxes3d'] = out['boxes3d'].at[:, 6].set(
+            jnp.where(out['mask'], yaw, 0.0))
+        return out
+
+    return jax.vmap(single)(scores, deltas, dir_score)

@@ -1,0 +1,156 @@
+"""Shared flax building blocks (channels-last, 2D & 3D).
+
+Equivalents of the reference's mmcv `ConvModule`, `convbn`/`convbn_3d`,
+`upconv_module` and the 2D/3D hourglass blocks
+(mmdet3d/models/utils/conv_modules.py, backbones/bev_hourglass.py) in
+idiomatic flax:
+
+* NHWC / NDHWC layouts (TPU conv-friendly);
+* BatchNorm: under pjit data-parallel sharding, batch reductions are
+  global, so plain `nn.BatchNorm` already has SyncBN semantics — no
+  explicit collective needed;
+* `dtype` controls compute precision (bf16 recommended on TPU),
+  parameters stay f32.
+"""
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.resize import resize_linear
+
+Dtype = Any
+
+
+class ConvNorm(nn.Module):
+    """Conv (2D or 3D by kernel rank) + norm + optional ReLU."""
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3)
+    strides: Optional[Tuple[int, ...]] = None
+    dilation: Optional[Tuple[int, ...]] = None
+    norm: str = 'gn'           # 'bn' | 'gn' | 'none'
+    groups: int = 32
+    act: bool = True
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.9   # flax convention: ra = m*ra + (1-m)*batch
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, self.kernel_size,
+            strides=self.strides,
+            kernel_dilation=self.dilation,
+            padding=[((k // 2) * d, (k // 2) * d) for k, d in zip(
+                self.kernel_size,
+                self.dilation or (1,) * len(self.kernel_size))],
+            use_bias=self.use_bias, dtype=self.dtype)(x)
+        x = apply_norm(self, x, self.norm, self.groups, train,
+                       self.bn_momentum, self.dtype)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+def apply_norm(mdl, x, norm, groups, train, bn_momentum=0.9,
+               dtype=jnp.float32):
+    if norm == 'bn':
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=bn_momentum,
+            epsilon=1e-5, dtype=dtype)(x)
+    if norm == 'gn':
+        # GN over min(groups, C) to stay valid for small channel counts
+        g = groups if x.shape[-1] % groups == 0 and x.shape[-1] >= groups \
+            else x.shape[-1]
+        return nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=dtype)(x)
+    if norm == 'none':
+        return x
+    raise ValueError(norm)
+
+
+class ConvTransposeNorm(nn.Module):
+    """ConvTranspose (2x upsample, torch k3/s2/p1/op1 equivalent) + norm."""
+    features: int
+    ndim: int = 2
+    norm: str = 'gn'
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = (3,) * self.ndim
+        s = (2,) * self.ndim
+        # torch ConvTranspose k3 s2 p1 op1: out = 2*in; XLA equivalent
+        # is lhs-dilated conv with padding (1, 2) per spatial dim
+        x = nn.ConvTranspose(
+            self.features, k, strides=s,
+            padding=[(1, 2)] * self.ndim,
+            use_bias=False, dtype=self.dtype)(x)
+        x = apply_norm(self, x, self.norm, self.groups, train,
+                       dtype=self.dtype)
+        return x
+
+
+class Hourglass(nn.Module):
+    """2-level hourglass with pre/post skip connections; `ndim` selects the
+    2D (BEV) or 3D (cost volume) variant. Mirrors the reference's
+    `hourglass` / `hourglass2d` topology: two stride-2 encoders, two
+    transposed-conv decoders, skip adds at 1/2 and 1/1 scales."""
+    features: int              # inplanes; internal width is 2x
+    ndim: int = 3
+    norm: str = 'gn'
+    groups: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, presqu=None, postsqu=None, train: bool = False):
+        k = (3,) * self.ndim
+        s2 = (2,) * self.ndim
+        c2 = self.features * 2
+        out = ConvNorm(c2, k, strides=s2, norm=self.norm, groups=self.groups,
+                       act=True, dtype=self.dtype)(x, train)          # 1/2
+        pre = ConvNorm(c2, k, norm=self.norm, groups=self.groups,
+                       act=False, dtype=self.dtype)(out, train)       # 1/2
+        if postsqu is not None:
+            pre = nn.relu(pre + postsqu)
+        else:
+            pre = nn.relu(pre)
+
+        out = ConvNorm(c2, k, strides=s2, norm=self.norm, groups=self.groups,
+                       act=True, dtype=self.dtype)(pre, train)        # 1/4
+        out = ConvNorm(c2, k, norm=self.norm, groups=self.groups,
+                       act=True, dtype=self.dtype)(out, train)        # 1/4
+
+        post = ConvTransposeNorm(c2, self.ndim, self.norm, self.groups,
+                                 self.dtype)(out, train)              # 1/2
+        if presqu is not None:
+            post = nn.relu(post + presqu)
+        else:
+            post = nn.relu(post + pre)
+
+        out = ConvTransposeNorm(self.features, self.ndim, self.norm,
+                                self.groups, self.dtype)(post, train)  # 1/1
+        return out, pre, post
+
+
+class UpconvModule(nn.Module):
+    """LIGA upconv decoder (reference conv_modules.py:46-70): repeated
+    [conv -> 2x bilinear up -> add lateral -> relu]."""
+    up_channels: Sequence[int]
+    norm: str = 'bn'
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[0]
+        for stage, ch in enumerate(self.up_channels):
+            x = ConvNorm(ch, (3, 3), norm=self.norm, act=False,
+                         dtype=self.dtype)(x, train)
+            lateral = ConvNorm(ch, (3, 3), norm=self.norm, act=False,
+                               dtype=self.dtype)(feats[stage + 1], train)
+            up = resize_linear(
+                x, (lateral.shape[1], lateral.shape[2]), axes=(1, 2),
+                align_corners=False)
+            x = nn.relu(up + lateral)
+        return x

@@ -1,0 +1,86 @@
+"""FrustumToVoxel neck (flax).
+
+Equivalent of the reference's `FrustumToVoxel`
+(mmdet3d/models/necks/feature_transformation.py:13-173): lifts the
+plane-sweep stereo volume + 2D semantic features into a pseudo-LiDAR
+voxel grid, applies Conv3d layers and height-pools z by 4.
+
+TPU-first: the softmax-attention sampling never materializes the x4
+upsampled volume (see dfm_tpu.ops.frustum); all samples are batched
+gathers; fully vectorized over batch (the reference asserts bs==1).
+"""
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.frustum import (depth_softmax_lse_map, project_voxels_to_frustum,
+                            sample_sem_features, sample_stereo_volume,
+                            sample_upsampled_softmax)
+from ..layers import ConvNorm
+
+
+class FrustumToVoxel(nn.Module):
+    num_3dconvs: int = 1
+    out_channels: int = 32
+    sem_atten_feat: bool = True
+    stereo_atten_feat: bool = False
+    cat_img_feature: bool = True
+    depth_min: float = 2.0
+    depth_max: float = 59.6
+    up_factor: int = 4
+    pool_z: int = 4
+    norm: str = 'gn'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self,
+                 stereo_vol,          # (B, D, H', W', Cv)
+                 depth_cost,          # (B, D, H', W') aggregated 1-ch cost
+                 sem_feat,            # (B, Hs, Ws, Cs) or None
+                 coors_3d,            # (Nz, Ny, Nx, 3) pseudo-lidar centers
+                 cam2img,             # (B, 4, 4) augmented intrinsics
+                 pad_shape: Tuple[int, int],
+                 train: bool = False):
+        """Returns volume features (B, Nz/pool_z, Ny, Nx, C_out)."""
+        use_atten = self.stereo_atten_feat or (self.sem_atten_feat and
+                                               self.cat_img_feature)
+
+        def single(vol_i, cost_i, sem_i, c2i):
+            coord_img = project_voxels_to_frustum(coors_3d, c2i)
+            voxel, valid2d, _ = sample_stereo_volume(
+                vol_i, coord_img, pad_shape, self.depth_min, self.depth_max)
+            pred_disp = None
+            if use_atten:
+                lse = depth_softmax_lse_map(cost_i, self.up_factor, pad_shape)
+                pred_disp = sample_upsampled_softmax(
+                    jax.lax.stop_gradient(cost_i), lse, coord_img, pad_shape,
+                    self.depth_min, self.depth_max, self.up_factor)
+                pred_disp = pred_disp[..., None].astype(voxel.dtype)
+            if self.stereo_atten_feat:
+                voxel = voxel * pred_disp
+            if self.cat_img_feature and sem_i is not None:
+                voxel2d = sample_sem_features(sem_i, coord_img, pad_shape,
+                                              valid2d)
+                if self.sem_atten_feat:
+                    voxel2d = voxel2d * pred_disp
+                voxel = jnp.concatenate([voxel, voxel2d], axis=-1)
+            return voxel
+
+        vol = jax.vmap(single)(
+            stereo_vol, depth_cost,
+            sem_feat if sem_feat is not None else
+            jnp.zeros((stereo_vol.shape[0], 1, 1, 0), stereo_vol.dtype),
+            cam2img)                           # (B, Nz, Ny, Nx, C)
+
+        for i in range(self.num_3dconvs):
+            vol = ConvNorm(self.out_channels, (3, 3, 3), norm=self.norm,
+                           dtype=self.dtype, name=f'voxel_conv{i}')(vol,
+                                                                    train)
+        # AvgPool3d((pool_z, 1, 1)) over z
+        b, nz, ny, nx, c = vol.shape
+        vol = vol.reshape(b, nz // self.pool_z, self.pool_z, ny, nx, c)
+        vol = vol.mean(axis=2)
+        return vol

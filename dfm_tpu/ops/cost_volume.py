@@ -34,7 +34,7 @@ def plane_sweep_grids(depths,
                       feat_shape,
                       cost_sample_factor,
                       feat_sample_factor,
-                      ori_shape,
+                      org_w,
                       flip,
                       crop_offset,
                       scale_factor):
@@ -47,7 +47,8 @@ def plane_sweep_grids(depths,
         feat_shape: (h_in, w_in) of the stereo feature maps.
         cost_sample_factor: spatial downsample of the cost grid vs feats.
         feat_sample_factor: feats stride relative to the (augmented) image.
-        ori_shape: (org_h, org_w) pre-augmentation image shape.
+        org_w: traced scalar, pre-augmentation image width (varies per
+            KITTI sample; only the width is needed, for flip undo/redo).
         flip: scalar {0., 1.} horizontal-flip indicator.
         crop_offset: (2,) (x, y) crop offset applied during augmentation.
         scale_factor: scalar resize factor applied during augmentation.
@@ -59,7 +60,6 @@ def plane_sweep_grids(depths,
     h_in, w_in = feat_shape
     h_out = round(h_in / cost_sample_factor)
     w_out = round(w_in / cost_sample_factor)
-    org_w = ori_shape[1]
     step = feat_sample_factor * cost_sample_factor
 
     ws = jnp.arange(w_out, dtype=jnp.float32) * step
@@ -98,7 +98,7 @@ def build_plane_sweep_cost(cur_feats,
                            cur2prev,
                            cost_sample_factor=4,
                            feat_sample_factor=4,
-                           ori_shape=(370, 1238),
+                           org_w=None,
                            flip=None,
                            crop_offset=None,
                            scale_factor=None):
@@ -110,12 +110,16 @@ def build_plane_sweep_cost(cur_feats,
         depths: (D,) depth hypotheses.
         cam2img: (B, 4, 4) original intrinsics.
         cur2prev: (B, 4, 4).
-        flip: (B,) float {0, 1}; crop_offset: (B, 2); scale_factor: (B,).
+        org_w: (B,) original image widths (pre-aug); flip: (B,) float
+            {0, 1}; crop_offset: (B, 2); scale_factor: (B,).
 
     Returns:
         (B, D, H', W', 2C) cost volume (cur || prev along channels).
     """
     b = cur_feats.shape[0]
+    if org_w is None:
+        org_w = jnp.full((b,), float(cur_feats.shape[2] * feat_sample_factor),
+                         cur_feats.dtype)
     if flip is None:
         flip = jnp.zeros((b,), cur_feats.dtype)
     if crop_offset is None:
@@ -124,13 +128,13 @@ def build_plane_sweep_cost(cur_feats,
         scale_factor = jnp.ones((b,), cur_feats.dtype)
     feat_shape = cur_feats.shape[1:3]
 
-    def single(cur_f, prev_f, c2i, c2p, fl, co, sf):
+    def single(cur_f, prev_f, c2i, c2p, ow, fl, co, sf):
         cur_grid, prev_grid = plane_sweep_grids(
             depths, c2i, c2p, feat_shape, cost_sample_factor,
-            feat_sample_factor, ori_shape, fl, co, sf)
+            feat_sample_factor, ow, fl, co, sf)
         cur_s = bilinear_sample(cur_f, cur_grid)
         prev_s = bilinear_sample(prev_f, prev_grid)
         return jnp.concatenate([cur_s, prev_s], axis=-1)
 
-    return jax.vmap(single)(cur_feats, prev_feats, cam2img, cur2prev, flip,
-                            crop_offset, scale_factor)
+    return jax.vmap(single)(cur_feats, prev_feats, cam2img, cur2prev, org_w,
+                            flip, crop_offset, scale_factor)

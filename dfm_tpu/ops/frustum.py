@@ -97,6 +97,7 @@ def depth_softmax_lse_map(cost, up_factor, pad_shape, chunk=128):
     cost_hw = jnp.einsum('ab,dbw->daw', wh, cost, precision=hp)
     cost_hw = jnp.einsum('cw,daw->dac', ww, cost_hw, precision=hp)
 
+    chunk = min(chunk, w_f)
     num_chunks = w_f // chunk
     cols = cost_hw.reshape(d, h_f, num_chunks, chunk).transpose(2, 0, 1, 3)
 

@@ -102,7 +102,7 @@ def test_plane_sweep_identity_prev():
     cur2prev = jnp.eye(4)[None]
     cost = cost_volume.build_plane_sweep_cost(
         feats, feats, depths, cam2img, cur2prev,
-        cost_sample_factor=4, feat_sample_factor=1, ori_shape=(h, w))
+        cost_sample_factor=4, feat_sample_factor=1)
     assert cost.shape == (1, 6, 4, 8, 2 * c)
     np.testing.assert_allclose(
         np.asarray(cost[..., :c]), np.asarray(cost[..., c:]), atol=1e-4)
@@ -125,7 +125,7 @@ def test_plane_sweep_translation_shift():
     cur2prev[0, 3] = tx  # prev cam shifted
     cur_grid, prev_grid = cost_volume.plane_sweep_grids(
         depths, jnp.asarray(cam2img), jnp.asarray(cur2prev),
-        (h, w), 4, 1, (h, w), jnp.asarray(0.0), jnp.zeros(2),
+        (h, w), 4, 1, jnp.asarray(float(w)), jnp.asarray(0.0), jnp.zeros(2),
         jnp.asarray(1.0))
     disparity = 721.5 * tx / 10.0
     np.testing.assert_allclose(
@@ -141,10 +141,10 @@ def test_plane_sweep_flip_roundtrip():
     depths = jnp.asarray(np.array([5.0, 20.0], dtype=np.float32))
     cam2img = jnp.asarray(_kitti_cam2img())
     cur_g0, _ = cost_volume.plane_sweep_grids(
-        depths, cam2img, jnp.eye(4), (h, w), 4, 1, (h, w),
+        depths, cam2img, jnp.eye(4), (h, w), 4, 1, jnp.asarray(float(w)),
         jnp.asarray(0.0), jnp.zeros(2), jnp.asarray(1.0))
     cur_g1, _ = cost_volume.plane_sweep_grids(
-        depths, cam2img, jnp.eye(4), (h, w), 4, 1, (h, w),
+        depths, cam2img, jnp.eye(4), (h, w), 4, 1, jnp.asarray(float(w)),
         jnp.asarray(1.0), jnp.zeros(2), jnp.asarray(1.0))
     np.testing.assert_allclose(np.asarray(cur_g0), np.asarray(cur_g1),
                                atol=1e-2)
