@@ -151,12 +151,13 @@ def normalize_image(img, mean=IMG_MEAN, std=IMG_STD):
     return (img.astype(np.float32) - mean) / std
 
 
-def pad_to_divisor(img, divisor=32):
+def pad_to_fixed(img, target_hw):
+    """Zero-pad bottom/right to a FIXED shape (TPU static shapes; the
+    reference pads to /32 which varies per image, transforms_3d Pad)."""
     h, w = img.shape[:2]
-    ph = (h + divisor - 1) // divisor * divisor
-    pw = (w + divisor - 1) // divisor * divisor
-    out = np.zeros((ph, pw) + img.shape[2:], img.dtype)
-    out[:h, :w] = img
+    th, tw = target_hw
+    out = np.zeros((th, tw) + img.shape[2:], img.dtype)
+    out[:min(h, th), :min(w, tw)] = img[:th, :tw]
     return out
 
 
@@ -342,7 +343,7 @@ def load_video_sample(info,
         if train:
             img = apply_photometric(img, rng)
         img = normalize_image(img)
-        img = pad_to_divisor(img, 32)
+        img = pad_to_fixed(img, crop_size)
         out_imgs.append(img)
     sample.pad_shape = out_imgs[0].shape[:2]
 
