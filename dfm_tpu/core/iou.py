@@ -7,12 +7,13 @@ TPU-native replacement for the reference's CUDA ops:
     (reference models/losses/iou3d_loss.py);
   * numba-CUDA `rotate_iou_gpu_eval` used in KITTI eval.
 
-Intersection of two rotated rectangles is computed with the classic
-"candidate points" construction: the up-to-16 edge-edge intersection
-points plus the up-to-8 contained vertices, sorted by angle around their
-centroid and integrated with the shoelace formula. Everything is static
-shape (24 candidates, masked), so it vmaps/jits cleanly and is
-differentiable (the angular sort is piecewise-constant in the inputs).
+Intersection of two convex polygons is computed WITHOUT vertex sorting:
+the boundary of P cap Q consists of the sub-segments of P's edges inside
+Q and of Q's edges inside P; each sub-segment is found by Liang-Barsky
+clipping against the other quad's four half-planes, and Green's theorem
+turns the unordered sub-segments into the area (sum of 0.5*cross(a, b)).
+~30 fused VPU ops per pair - no argsort, no scatter - which is what
+makes a 512x512 NMS IoU matrix cheap on TPU. Differentiable a.e.
 """
 
 import jax
@@ -30,86 +31,56 @@ _EPS = 1e-8
 
 def box_bev_corners(boxes_bev):
     """Corners of BEV boxes (x, y, dx, dy, yaw) -> (..., 4, 2), CCW order."""
-    half = boxes_bev[..., 2:4] * 0.5
     template = jnp.asarray(
         [[0.5, 0.5], [-0.5, 0.5], [-0.5, -0.5], [0.5, -0.5]],
         dtype=boxes_bev.dtype)
     corners = template * boxes_bev[..., None, 2:4]
     corners = rotation_2d(corners, boxes_bev[..., None, 4])
-    del half
     return corners + boxes_bev[..., None, :2]
 
 
-def _segment_intersections(c1, c2):
-    """All 16 candidate edge-edge intersection points of two quads.
+def _clipped_boundary_area(p_corners, q_corners, boundary_eps):
+    """Signed-area contribution of P's edges clipped inside quad Q.
 
     Args:
-        c1, c2: (4, 2) corner arrays.
+        p_corners: (..., 4, 2) CCW; q_corners: (..., 4, 2) CCW.
+        boundary_eps: feasibility slack for edges lying exactly on Q's
+            boundary (used to count shared boundaries exactly once).
 
     Returns:
-        pts: (16, 2), valid: (16,) bool.
+        (...,) sum over P's edges of 0.5 * cross(a, b) for the inside
+        sub-segment a->b (Green's theorem contribution).
     """
-    p = c1                                   # (4, 2) edge starts
-    r = jnp.roll(c1, -1, axis=0) - c1        # (4, 2) edge vectors
-    q = c2
-    s = jnp.roll(c2, -1, axis=0) - c2
+    p = p_corners                                    # (..., 4, 2) starts
+    r = jnp.roll(p_corners, -1, axis=-2) - p         # (..., 4, 2) dirs
+    q = q_corners
+    e = jnp.roll(q_corners, -1, axis=-2) - q
+    # inward (left) normals of Q's CCW edges
+    n = jnp.stack([-e[..., 1], e[..., 0]], axis=-1)  # (..., 4, 2)
+    c = jnp.sum(n * q, axis=-1)                      # (..., 4)
 
-    # pairwise: p_i + t r_i == q_j + u s_j
-    qp = q[None, :, :] - p[:, None, :]       # (4, 4, 2)
-    rxs = jnp.cross(r[:, None, :], s[None, :, :])          # (4, 4)
-    t = jnp.cross(qp, s[None, :, :]) / (rxs + _EPS)
-    u = jnp.cross(qp, r[:, None, :]) / (rxs + _EPS)
-    valid = (jnp.abs(rxs) > _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    pts = p[:, None, :] + t[..., None] * r[:, None, :]     # (4, 4, 2)
-    return pts.reshape(16, 2), valid.reshape(16)
+    # broadcast: P edge i (axis -2) vs Q plane k (axis -1); explicit
+    # mul/add instead of einsum — XLA lowers 2-wide contractions poorly
+    nk = n[..., None, :, :]                          # (..., 1, 4k, 2)
+    pi = p[..., :, None, :]                          # (..., 4i, 1, 2)
+    ri = r[..., :, None, :]
+    a = nk[..., 0] * pi[..., 0] + nk[..., 1] * pi[..., 1] - c[..., None, :]
+    b = nk[..., 0] * ri[..., 0] + nk[..., 1] * ri[..., 1]
 
+    t_cross = -a / jnp.where(jnp.abs(b) > _EPS, b, _EPS)
+    is_par = jnp.abs(b) <= _EPS
+    lower = jnp.where((b > 0) & ~is_par, t_cross, 0.0)
+    upper = jnp.where((b < 0) & ~is_par, t_cross, 1.0)
+    t0 = jnp.maximum(jnp.max(lower, axis=-1), 0.0)   # (..., 4 edges)
+    t1 = jnp.minimum(jnp.min(upper, axis=-1), 1.0)
+    feasible = jnp.all(~is_par | (a >= boundary_eps), axis=-1)
+    valid = feasible & (t1 > t0)
 
-def _vertices_inside(corners, box_bev):
-    """Mask of which of the 4 `corners` lie inside rotated `box_bev` (5,)."""
-    rel = corners - box_bev[None, :2]
-    local = rotation_2d(rel, -box_bev[4])
-    half = box_bev[2:4] * 0.5
-    return jnp.all(jnp.abs(local) <= half + 1e-5, axis=-1)
-
-
-def _convex_area_from_candidates(pts, valid):
-    """Area of the convex hull of the masked candidate points.
-
-    The valid points of a rectangle-rectangle intersection are already the
-    vertices of a convex polygon; sorting them by angle around their mean
-    and applying the shoelace formula yields the area. Invalid points are
-    replaced by the max-angle valid vertex so they contribute degenerate
-    (zero-area) fan triangles.
-    """
-    num_valid = jnp.sum(valid)
-    vf = valid.astype(pts.dtype)[:, None]
-    centroid = jnp.sum(pts * vf, axis=0) / jnp.maximum(num_valid, 1)
-    rel = pts - centroid
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    # invalid points sort to the front
-    ang = jnp.where(valid, ang, -10.0)
-    order = jnp.argsort(ang)
-    sorted_pts = pts[order]
-    sorted_valid = valid[order]
-    # last entry is the max-angle valid vertex (when any exist)
-    v_last = sorted_pts[-1]
-    sorted_pts = jnp.where(sorted_valid[:, None], sorted_pts, v_last[None])
-    rel = sorted_pts - centroid
-    nxt = jnp.roll(rel, -1, axis=0)
-    area = 0.5 * jnp.abs(jnp.sum(jnp.cross(rel, nxt)))
-    return jnp.where(num_valid >= 3, area, 0.0)
-
-
-def _pair_intersection_area(box1, box2):
-    """Intersection area of two BEV boxes (5,) each: (x, y, dx, dy, yaw)."""
-    c1 = box_bev_corners(box1)
-    c2 = box_bev_corners(box2)
-    inter_pts, inter_valid = _segment_intersections(c1, c2)
-    in2 = _vertices_inside(c1, box2)
-    in1 = _vertices_inside(c2, box1)
-    pts = jnp.concatenate([inter_pts, c1, c2], axis=0)      # (24, 2)
-    valid = jnp.concatenate([inter_valid, in2, in1], axis=0)
-    return _convex_area_from_candidates(pts, valid)
+    a_pt = p + t0[..., None] * r
+    b_pt = p + t1[..., None] * r
+    contrib = 0.5 * (a_pt[..., 0] * b_pt[..., 1] -
+                     a_pt[..., 1] * b_pt[..., 0])
+    return jnp.sum(jnp.where(valid, contrib, 0.0), axis=-1)
 
 
 def rotated_intersection_area(boxes1, boxes2):
@@ -121,8 +92,15 @@ def rotated_intersection_area(boxes1, boxes2):
     Returns:
         (N, M) intersection areas.
     """
-    fn = jax.vmap(jax.vmap(_pair_intersection_area, (None, 0)), (0, None))
-    return fn(boxes1, boxes2)
+    c1 = box_bev_corners(boxes1)[:, None]            # (N, 1, 4, 2)
+    c2 = box_bev_corners(boxes2)[None, :]            # (1, M, 4, 2)
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    c1 = jnp.broadcast_to(c1, (n, m, 4, 2))
+    c2 = jnp.broadcast_to(c2, (n, m, 4, 2))
+    # shared-boundary segments counted once: strict for the second sweep
+    area = _clipped_boundary_area(c1, c2, -1e-6) + \
+        _clipped_boundary_area(c2, c1, 1e-6)
+    return jnp.maximum(area, 0.0)
 
 
 def rotated_iou_bev(boxes1, boxes2):

@@ -228,3 +228,19 @@ def test_sin_difference():
     np.testing.assert_allclose(
         np.asarray(o2[:, 6]), np.cos([0.3, 1.0]) * np.sin([0.1, 2.0]),
         atol=1e-6)
+
+
+def test_rotated_iou_random_vs_numpy_eval():
+    """Cross-check the jax Liang-Barsky IoU against the independent
+    numpy candidate-hull implementation in dfm_tpu.evaluation."""
+    from dfm_tpu.evaluation.kitti_eval import bev_box_overlap
+    rng = np.random.RandomState(7)
+    b1 = np.stack([rng.uniform(-5, 5, 40), rng.uniform(-5, 5, 40),
+                   rng.uniform(0.5, 6, 40), rng.uniform(0.5, 6, 40),
+                   rng.uniform(-np.pi, np.pi, 40)], 1).astype(np.float32)
+    b2 = np.stack([rng.uniform(-5, 5, 30), rng.uniform(-5, 5, 30),
+                   rng.uniform(0.5, 6, 30), rng.uniform(0.5, 6, 30),
+                   rng.uniform(-np.pi, np.pi, 30)], 1).astype(np.float32)
+    ours = np.asarray(iou.rotated_iou_bev(jnp.asarray(b1), jnp.asarray(b2)))
+    ref = bev_box_overlap(b1.astype(np.float64), b2.astype(np.float64))
+    np.testing.assert_allclose(ours, ref, atol=2e-3)

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Dataset preparation (equivalent of the reference's tools/create_data.py
+kitti path incl. temporal sweeps via raw-sequence poses).
+
+Usage:
+  python tools/create_data.py kitti --root data/kitti \
+      --splits train val
+Expects ImageSets/{train,val}.txt under the root (standard KITTI layout);
+falls back to globbing image_2 when absent.
+"""
+
+import argparse
+import glob
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('dataset', choices=['kitti'])
+    p.add_argument('--root', default='data/kitti')
+    p.add_argument('--splits', nargs='*', default=['train', 'val'])
+    args = p.parse_args()
+
+    from dfm_tpu.data.kitti import build_kitti_infos
+
+    for split in args.splits:
+        ids_file = os.path.join(args.root, 'ImageSets', f'{split}.txt')
+        if os.path.exists(ids_file):
+            with open(ids_file) as f:
+                ids = [int(x) for x in f.read().split()]
+        else:
+            imgs = sorted(glob.glob(
+                os.path.join(args.root, 'training', 'image_2', '*.png')))
+            ids = [int(os.path.basename(x)[:-4]) for x in imgs]
+            print(f'no ImageSets/{split}.txt; globbed {len(ids)} frames')
+        infos = build_kitti_infos(args.root, ids)
+        out = os.path.join(args.root, f'kitti_infos_{split}.pkl')
+        with open(out, 'wb') as f:
+            pickle.dump(infos, f)
+        print(f'wrote {len(infos)} infos -> {out}')
+
+
+if __name__ == '__main__':
+    main()

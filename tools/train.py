@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Train a dfm_tpu model (equivalent of the reference's tools/train.py).
+
+Usage:
+  python tools/train.py configs/dfm_r34_kitti_3class.py \
+      --work-dir work_dirs/dfm --cfg-options optimizer.lr=5e-4
+
+Data parallelism is automatic over all visible devices (one mesh);
+resume with --auto-resume.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument('config')
+    p.add_argument('--work-dir', default='work_dirs/default')
+    p.add_argument('--cfg-options', nargs='*', default=None)
+    p.add_argument('--auto-resume', action='store_true')
+    p.add_argument('--max-steps', type=int, default=None,
+                   help='cap total steps (debug)')
+    p.add_argument('--seed', type=int, default=0)
+    return p.parse_args()
+
+
+def build_batch(samples, metas_cls):
+    import jax.numpy as jnp
+    stacked = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    meta = metas_cls(
+        ori_cam2img=jnp.asarray(stacked['ori_cam2img']),
+        cam2img=jnp.asarray(stacked['cam2img']),
+        cur2prev=jnp.asarray(stacked['cur2prev']),
+        org_w=jnp.asarray(stacked['org_w']),
+        flip=jnp.asarray(stacked['flip']),
+        crop_offset=jnp.asarray(stacked['crop_offset']),
+        scale_factor=jnp.asarray(stacked['scale_factor']))
+    return dict(
+        img=jnp.asarray(stacked['img']), meta=meta,
+        gt_boxes=jnp.asarray(stacked['gt_boxes']),
+        gt_labels=jnp.asarray(stacked['gt_labels']),
+        gt_mask=jnp.asarray(stacked['gt_mask']),
+        depth_img=jnp.asarray(stacked['depth_img']),
+        depth_fgmask_img=jnp.asarray(stacked['depth_fgmask_img']))
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    from dfm_tpu.utils.env import setup_platform
+    setup_platform()
+    import jax
+    from dfm_tpu.data.kitti import KittiDataset
+    from dfm_tpu.models import BatchMeta, DfM, DfMConfig, dfm_loss
+    from dfm_tpu.parallel import create_mesh, replicate, shard_batch
+    from dfm_tpu.runtime import (CheckpointManager, create_train_state,
+                                 liga_schedule, make_optimizer,
+                                 make_train_step)
+    from dfm_tpu.runtime.config import load_config, merge_options
+
+    cfg = merge_options(load_config(args.config), args.cfg_options)
+    cfg.dump(os.path.join(args.work_dir, 'config.json'))
+
+    m = cfg.model.to_dict()
+    m.pop('type', None)
+    mcfg = DfMConfig(
+        **{k: v for k, v in m.items()
+           if k in {f.name for f in dataclasses.fields(DfMConfig)}})
+    model = DfM(cfg=mcfg)
+
+    d = cfg.data
+    ds = KittiDataset(
+        d.data_root, os.path.join(d.data_root, 'kitti_infos_train.pkl'),
+        train=True,
+        pipeline_kwargs=dict(crop_size=tuple(d.crop_size),
+                             scale_range=tuple(d.scale_range),
+                             flip_ratio=d.flip_ratio, max_gt=d.max_gt))
+
+    mesh = create_mesh()
+    n_dev = len(jax.devices())
+    batch_size = d.batch_size_per_chip * n_dev
+    steps_per_epoch = max(len(ds) // batch_size, 1)
+    total_steps = steps_per_epoch * cfg.schedule.total_epochs
+
+    sched = liga_schedule(
+        cfg.optimizer.lr, cfg.optimizer.warmup_iters,
+        cfg.optimizer.warmup_ratio,
+        decay_steps=[e * steps_per_epoch for e in cfg.optimizer.decay_epochs],
+        gamma=cfg.optimizer.gamma)
+    tx = make_optimizer(sched, cfg.optimizer.weight_decay,
+                        cfg.optimizer.grad_clip_norm)
+
+    rng = np.random.default_rng(args.seed)
+    sample0 = ds.get_sample(0, rng)
+    batch0 = build_batch([sample0] * batch_size, BatchMeta)
+
+    import jax.numpy as jnp
+    variables = model.init(jax.random.PRNGKey(args.seed), batch0['img'],
+                           batch0['meta'], train=False)
+    state = create_train_state(variables, tx)
+
+    ckpt = CheckpointManager(os.path.join(args.work_dir, 'ckpts'),
+                             max_keep=cfg.checkpoint.max_keep)
+    start_step = 0
+    if args.auto_resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+        print(f'resumed from step {start_step}')
+
+    train_step = make_train_step(
+        model, lambda o, bt, r: dfm_loss(o, bt, mcfg, r))
+
+    with mesh:
+        state = replicate(state, mesh)
+        key = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        step = start_step
+        order = rng.permutation(len(ds))
+        cursor = 0
+        max_steps = args.max_steps or total_steps
+        while step < max_steps:
+            idxs = []
+            while len(idxs) < batch_size:
+                if cursor >= len(order):
+                    order = rng.permutation(len(ds))
+                    cursor = 0
+                idxs.append(int(order[cursor]))
+                cursor += 1
+            samples = [ds.get_sample(i, rng) for i in idxs]
+            batch = shard_batch(build_batch(samples, BatchMeta), mesh)
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+            step += 1
+            if step % cfg.schedule.log_interval == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                print(f'step {step}/{max_steps} '
+                      f'({dt / max(step - start_step, 1):.2f}s/it) ' +
+                      ' '.join(f'{k}={v:.4f}' for k, v in m.items()),
+                      flush=True)
+            if step % (cfg.checkpoint.interval_epochs *
+                       steps_per_epoch) == 0:
+                ckpt.save(step, jax.device_get(state))
+        ckpt.save(step, jax.device_get(state), force=True)
+    print('training done')
+
+
+if __name__ == '__main__':
+    main()
