@@ -7,3 +7,7 @@ from .heads.anchor3d_head import (LIGAAnchor3DHead, anchor3d_head_get_bboxes,
                                   anchor3d_head_loss)
 from .necks.frustum_to_voxel import FrustumToVoxel
 from .necks.spp_unet import SPPUNetNeck
+from .detectors.dfm_with_teacher import (DfMWithTeacher, bev_cell_centers,
+                                         dfm_loss_with_imitation)
+from .detectors.imitation import cw_scale_normalize, imitation_loss
+from .detectors.teacher import LidarTeacher, voxelize_mean

@@ -16,9 +16,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.frustum import (depth_softmax_lse_map, project_voxels_to_frustum,
-                            sample_sem_features, sample_stereo_volume,
-                            sample_upsampled_softmax)
+from ...ops.frustum import (build_packed_fine_softmax,
+                            project_voxels_to_frustum,
+                            sample_fine_softmax_packed,
+                            sample_sem_features_packed,
+                            sample_stereo_volume_packed)
+from ...ops.packed_sample import pack_taps_2d, pack_taps_3d
 from ..layers import ConvNorm
 
 
@@ -50,20 +53,25 @@ class FrustumToVoxel(nn.Module):
 
         def single(vol_i, cost_i, sem_i, c2i):
             coord_img = project_voxels_to_frustum(coors_3d, c2i)
-            voxel, valid2d, _ = sample_stereo_volume(
-                vol_i, coord_img, pad_shape, self.depth_min, self.depth_max)
+            c = vol_i.shape[-1]
+            voxel, valid2d, _ = sample_stereo_volume_packed(
+                pack_taps_3d(vol_i), c, coord_img, pad_shape,
+                self.depth_min, self.depth_max)
             pred_disp = None
             if use_atten:
-                lse = depth_softmax_lse_map(cost_i, self.up_factor, pad_shape)
-                pred_disp = sample_upsampled_softmax(
-                    jax.lax.stop_gradient(cost_i), lse, coord_img, pad_shape,
+                packed_fine = build_packed_fine_softmax(
+                    jax.lax.stop_gradient(cost_i), self.up_factor,
+                    pad_shape, dtype=jnp.bfloat16)
+                pred_disp = sample_fine_softmax_packed(
+                    packed_fine, coord_img, pad_shape,
                     self.depth_min, self.depth_max, self.up_factor)
                 pred_disp = pred_disp[..., None].astype(voxel.dtype)
             if self.stereo_atten_feat:
                 voxel = voxel * pred_disp
             if self.cat_img_feature and sem_i is not None:
-                voxel2d = sample_sem_features(sem_i, coord_img, pad_shape,
-                                              valid2d)
+                cs = sem_i.shape[-1]
+                voxel2d = sample_sem_features_packed(
+                    pack_taps_2d(sem_i), cs, coord_img, pad_shape, valid2d)
                 if self.sem_atten_feat:
                     voxel2d = voxel2d * pred_disp
                 voxel = jnp.concatenate([voxel, voxel2d], axis=-1)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.transforms import homogeneous, points_cam2img, points_img2cam
-from .grid_sample import bilinear_sample
+from .packed_sample import pack_taps_2d, packed_bilinear_sample
 
 __all__ = ['build_plane_sweep_cost', 'plane_sweep_grids']
 
@@ -128,12 +128,15 @@ def build_plane_sweep_cost(cur_feats,
         scale_factor = jnp.ones((b,), cur_feats.dtype)
     feat_shape = cur_feats.shape[1:3]
 
+    c = cur_feats.shape[-1]
+
     def single(cur_f, prev_f, c2i, c2p, ow, fl, co, sf):
         cur_grid, prev_grid = plane_sweep_grids(
             depths, c2i, c2p, feat_shape, cost_sample_factor,
             feat_sample_factor, ow, fl, co, sf)
-        cur_s = bilinear_sample(cur_f, cur_grid)
-        prev_s = bilinear_sample(prev_f, prev_grid)
+        # tap-packed gathers: one wide row fetch per query per frame
+        cur_s = packed_bilinear_sample(pack_taps_2d(cur_f), cur_grid, c)
+        prev_s = packed_bilinear_sample(pack_taps_2d(prev_f), prev_grid, c)
         return jnp.concatenate([cur_s, prev_s], axis=-1)
 
     return jax.vmap(single)(cur_feats, prev_feats, cam2img, cur2prev, org_w,

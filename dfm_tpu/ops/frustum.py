@@ -5,14 +5,19 @@ Rebuilds the math of the reference's `FrustumToVoxel.forward`
 
 * voxel-center projection + validity masks are computed per sample from
   the (augmented) intrinsics, all static shapes;
+* all sampling uses tap-packed gathers (one wide row fetch per query,
+  see dfm_tpu.ops.packed_sample) — TPU gathers are row-count bound;
 * the reference samples a softmax over the x4 trilinearly-upsampled
-  cost volume (288 x 320 x 1280 — ~0.5 GB materialized on GPU). Here
-  that volume is never built: with align_corners=True, linearly
-  resampling a linear upsampling is *exactly* the base interpolant, so
-  only a per-fine-pixel logsumexp map (H_pad x W_pad) is needed to
-  evaluate softmax(upsample(cost)) at arbitrary query points. The lse
-  map is computed in W-chunks with one (288, 72) interpolation matmul
-  per chunk (MXU work instead of HBM traffic).
+  cost volume (~0.5 GB materialized f32 on GPU). Two exact TPU
+  formulations are provided:
+    - `depth_softmax_lse_map` + `sample_upsampled_softmax`: never
+      materializes the fine volume (logsumexp map + base-interpolant
+      evaluation) — minimal memory, more gathers;
+    - `build_packed_fine_softmax` + `sample_fine_softmax_packed`:
+      materializes the softmaxed fine volume once in bf16 with hw-tap
+      packing — 2 gathers per voxel query, used on the hot path.
+  Both equal torch's explicit upsample->softmax->grid_sample exactly
+  (nested align-corners linear interpolation is the base interpolant).
 """
 
 import jax
@@ -21,11 +26,15 @@ import jax.numpy as jnp
 from ..core.boxes import pseudo_lidar_to_cam_points
 from ..core.transforms import points_cam2img
 from .grid_sample import bilinear_sample, trilinear_sample
+from .packed_sample import (pack_taps_2d, pack_taps_3d,
+                            packed_bilinear_sample, packed_trilinear_sample)
 from .resize import interp_matrix
 
 __all__ = ['project_voxels_to_frustum', 'sample_stereo_volume',
-           'depth_softmax_lse_map', 'sample_upsampled_softmax',
-           'sample_sem_features']
+           'sample_stereo_volume_packed', 'depth_softmax_lse_map',
+           'sample_upsampled_softmax', 'build_packed_fine_softmax',
+           'sample_fine_softmax_packed', 'sample_sem_features',
+           'sample_sem_features_packed']
 
 
 def project_voxels_to_frustum(coors_pl, cam2img):
@@ -61,8 +70,7 @@ def _frustum_indices(coord_img, pad_shape, depth_min, depth_max, vol_shape):
 
 def sample_stereo_volume(stereo_vol, coord_img, pad_shape, depth_min,
                          depth_max):
-    """Trilinearly sample the (D, H, W, C) stereo volume at voxel
-    projections; invalid voxels are zeroed.
+    """Reference-formulation trilinear sample (unpacked; kept for tests).
 
     Returns:
         (..., C) samples, valid2d mask, valid (3D) mask.
@@ -70,6 +78,17 @@ def sample_stereo_volume(stereo_vol, coord_img, pad_shape, depth_min,
     idx, valid2d, valid = _frustum_indices(
         coord_img, pad_shape, depth_min, depth_max, stereo_vol.shape[:3])
     out = trilinear_sample(stereo_vol, idx)
+    return out * valid[..., None].astype(out.dtype), valid2d, valid
+
+
+def sample_stereo_volume_packed(packed_vol, c, coord_img, pad_shape,
+                                depth_min, depth_max):
+    """Trilinear sample from a `pack_taps_3d`-packed stereo volume:
+    one wide gather per voxel."""
+    d, h, w = packed_vol.shape[:3]
+    idx, valid2d, valid = _frustum_indices(
+        coord_img, pad_shape, depth_min, depth_max, (d, h, w))
+    out = packed_trilinear_sample(packed_vol, idx, c)
     return out * valid[..., None].astype(out.dtype), valid2d, valid
 
 
@@ -97,7 +116,8 @@ def depth_softmax_lse_map(cost, up_factor, pad_shape, chunk=128):
     cost_hw = jnp.einsum('ab,dbw->daw', wh, cost, precision=hp)
     cost_hw = jnp.einsum('cw,daw->dac', ww, cost_hw, precision=hp)
 
-    chunk = min(chunk, w_f)
+    import math
+    chunk = math.gcd(w_f, min(chunk, w_f))
     num_chunks = w_f // chunk
     cols = cost_hw.reshape(d, h_f, num_chunks, chunk).transpose(2, 0, 1, 3)
 
@@ -109,32 +129,111 @@ def depth_softmax_lse_map(cost, up_factor, pad_shape, chunk=128):
     return lse.transpose(1, 0, 2).reshape(h_f, w_f)
 
 
+def build_packed_fine_softmax(cost, up_factor, pad_shape, dtype=jnp.bfloat16,
+                              kd_chunk=32):
+    """Materialize softmax_D(upsample(cost)) on the fine grid, hw-tap
+    packed: (D_f, H_f, W_f, 4) in `dtype`.
+
+    Built in kd-chunks so the f32 working set stays at
+    (D, H_f, W_f) + one chunk; numerically the softmax subtracts the
+    chunked lse map (exact).
+    """
+    import math
+    d, h, w = cost.shape
+    h_f, w_f = pad_shape
+    d_f = d * up_factor
+    kd_chunk = math.gcd(d_f, kd_chunk)
+    lse = depth_softmax_lse_map(cost, up_factor, pad_shape)  # (H_f, W_f)
+    hp = jax.lax.Precision.HIGHEST
+    wh = interp_matrix(h, h_f, dtype=jnp.float32)
+    ww = interp_matrix(w, w_f, dtype=jnp.float32)
+    wd = interp_matrix(d, d_f, dtype=jnp.float32)
+    cost_hw = jnp.einsum('ab,dbw->daw', wh, cost.astype(jnp.float32),
+                         precision=hp)
+    cost_hw = jnp.einsum('cw,daw->dac', ww, cost_hw, precision=hp)
+
+    wd_chunks = wd.reshape(d_f // kd_chunk, kd_chunk, d)
+    from .packed_sample import _lead_pad, _shift_minus1
+
+    def chunk_fn(wd_c):
+        fine = jnp.einsum('fd,dhw->fhw', wd_c, cost_hw, precision=hp)
+        sm = jnp.exp(fine - lse[None]).astype(dtype)    # (kd, H_f, W_f)
+        sm = _lead_pad(sm, (1, 2))
+        su = _shift_minus1(sm, 2)
+        sv = _shift_minus1(sm, 1)
+        svu = _shift_minus1(sv, 2)
+        return jnp.stack([sm, su, sv, svu], axis=-1)
+
+    packed = jax.lax.map(chunk_fn, wd_chunks)
+    return packed.reshape(d_f, h_f + 1, w_f + 1, 4)
+
+
+def sample_fine_softmax_packed(packed_fine, coord_img, pad_shape, depth_min,
+                               depth_max, up_factor=4):
+    """Sample the packed fine softmax volume at (u, v, depth) queries —
+    exact equivalent of the reference's
+    `F.grid_sample(upsample_costs_softmax, norm_coord_imgs)`.
+
+    Two packed gathers per query (kd floor/ceil)."""
+    d_f, hp_, wp_ = packed_fine.shape[:3]
+    h_f, w_f = hp_ - 1, wp_ - 1
+    pad_h, pad_w = pad_shape
+    u, v, dep = coord_img[..., 0], coord_img[..., 1], coord_img[..., 2]
+    x_f = u / (pad_w - 1) * (w_f - 1)
+    y_f = v / (pad_h - 1) * (h_f - 1)
+    z_f = (dep - depth_min) / (depth_max - depth_min) * (d_f - 1)
+    valid = ((u >= 0) & (u <= pad_w) & (v >= 0) & (v <= pad_h) &
+             (dep >= depth_min) & (dep <= depth_max))
+
+    z0 = jnp.floor(z_f)
+    fz = z_f - z0
+    zi0 = jnp.clip(z0, 0, d_f - 1).astype(jnp.int32)
+    zi1 = jnp.clip(z0 + 1, 0, d_f - 1).astype(jnp.int32)
+    xy = jnp.stack([x_f, y_f], axis=-1)
+
+    def slice_sample(zi):
+        # gather the packed row at (zi, y0+1, x0+1) in the lead-padded grid
+        x0 = jnp.floor(x_f)
+        y0 = jnp.floor(y_f)
+        fx = (x_f - x0)[..., None]
+        fy = (y_f - y0)[..., None]
+        vx0 = (x0 >= 0) & (x0 <= w_f - 1)
+        vx1 = (x0 + 1 <= w_f - 1) & (x0 + 1 >= 0)
+        vy0 = (y0 >= 0) & (y0 <= h_f - 1)
+        vy1 = (y0 + 1 <= h_f - 1) & (y0 + 1 >= 0)
+        xi = jnp.clip(x0 + 1, 0, wp_ - 1).astype(jnp.int32)
+        yi = jnp.clip(y0 + 1, 0, hp_ - 1).astype(jnp.int32)
+        rows = jnp.take(packed_fine.reshape(d_f * hp_ * wp_, 4),
+                        (zi * hp_ + yi) * wp_ + xi, axis=0)
+        rows = rows.astype(jnp.float32)
+        w00 = (1 - fx[..., 0]) * (1 - fy[..., 0]) * (vx0 & vy0)
+        w01 = fx[..., 0] * (1 - fy[..., 0]) * (vx1 & vy0)
+        w10 = (1 - fx[..., 0]) * fy[..., 0] * (vx0 & vy1)
+        w11 = fx[..., 0] * fy[..., 0] * (vx1 & vy1)
+        return (rows[..., 0] * w00 + rows[..., 1] * w01 +
+                rows[..., 2] * w10 + rows[..., 3] * w11)
+
+    s0 = slice_sample(zi0)
+    s1 = slice_sample(zi1)
+    vz0 = (z0 >= 0) & (z0 <= d_f - 1)
+    vz1 = (z0 + 1 >= 0) & (z0 + 1 <= d_f - 1)
+    out = s0 * (1 - fz) * vz0 + s1 * fz * vz1
+    del xy
+    return jnp.where(valid, out, 0.0)
+
+
 def sample_upsampled_softmax(cost, lse_map, coord_img, pad_shape, depth_min,
                              depth_max, up_factor=4):
-    """Evaluate softmax_D(upsample_x4(cost)) at (u, v, depth) queries —
-    exact equivalent of the reference's
-    `F.grid_sample(upsample_costs_softmax, norm_coord_imgs)` without
-    materializing the upsampled volume.
+    """Memory-minimal exact formulation (no fine volume): evaluate
+    softmax_D(upsample(cost)) per query via the lse map.
 
-    The trilinear sample of the softmaxed fine volume expands to
-    sum_{8 fine taps} w_tap * exp(F(tap) - lse(tap_hw)), and F at fine
-    grid points equals the base interpolant evaluated at the mapped
-    base coordinates (nested align-corners linear interpolation).
-
-    Args:
-        cost: (D, H, W) base cost.
-        lse_map: (H_pad, W_pad) from `depth_softmax_lse_map`.
-        coord_img: (..., 3) (u, v, depth) queries.
-
-    Returns:
-        (...,) softmax-probability samples (0 outside the frustum).
-    """
+    sum_{8 fine taps} w_tap * exp(F(tap) - lse(tap_hw)), F at fine grid
+    points = base interpolant at mapped coordinates."""
     d, h, w = cost.shape
     d_f = d * up_factor
     h_f, w_f = pad_shape
     pad_h, pad_w = pad_shape
     u, v, dep = coord_img[..., 0], coord_img[..., 1], coord_img[..., 2]
-    # fine-grid indices (same normalization as the reference)
     x_f = u / (pad_w - 1) * (w_f - 1)
     y_f = v / (pad_h - 1) * (h_f - 1)
     z_f = (dep - depth_min) / (depth_max - depth_min) * (d_f - 1)
@@ -146,7 +245,6 @@ def sample_upsampled_softmax(cost, lse_map, coord_img, pad_shape, depth_min,
     z0 = jnp.floor(z_f)
     fx, fy, fz = x_f - x0, y_f - y0, z_f - z0
 
-    # fine integer index -> base (fractional) coordinate
     sx = (w - 1) / (w_f - 1)
     sy = (h - 1) / (h_f - 1)
     sz = (d - 1) / (d_f - 1)
@@ -169,22 +267,25 @@ def sample_upsampled_softmax(cost, lse_map, coord_img, pad_shape, depth_min,
 
 
 def sample_sem_features(sem_feat, coord_img, pad_shape, valid2d):
-    """Bilinearly sample 2D semantic features at voxel projections
-    (reference feature_transformation.py:144-160: depth coord zeroed,
-    uv normalized by pad_shape over the sem map).
-
-    Args:
-        sem_feat: (Hs, Ws, C) semantic feature map.
-        coord_img: (..., 3); only u, v used.
-        valid2d: (...,) 2D validity.
-
-    Returns:
-        (..., C) samples, zeroed outside the image.
-    """
+    """Unpacked sem-feature sampling (kept for tests)."""
     hs, ws = sem_feat.shape[:2]
     pad_h, pad_w = pad_shape
     u, v = coord_img[..., 0], coord_img[..., 1]
     x_idx = u / (pad_w - 1) * (ws - 1)
     y_idx = v / (pad_h - 1) * (hs - 1)
     out = bilinear_sample(sem_feat, jnp.stack([x_idx, y_idx], axis=-1))
+    return out * valid2d[..., None].astype(out.dtype)
+
+
+def sample_sem_features_packed(packed_sem, c, coord_img, pad_shape, valid2d):
+    """Tap-packed sem-feature sampling (reference
+    feature_transformation.py:144-160: depth coord zeroed, uv
+    normalized by pad_shape)."""
+    hs, ws = packed_sem.shape[:2]
+    pad_h, pad_w = pad_shape
+    u, v = coord_img[..., 0], coord_img[..., 1]
+    x_idx = u / (pad_w - 1) * (ws - 1)
+    y_idx = v / (pad_h - 1) * (hs - 1)
+    out = packed_bilinear_sample(
+        packed_sem, jnp.stack([x_idx, y_idx], axis=-1), c)
     return out * valid2d[..., None].astype(out.dtype)

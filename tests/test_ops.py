@@ -197,3 +197,61 @@ def test_sample_stereo_volume_masks():
     assert v.tolist() == [True, False, False]
     assert np.all(np.asarray(out)[1:] == 0)
     assert np.asarray(valid2d).tolist() == [True, False, True]
+
+
+def test_packed_samplers_match_unpacked():
+    from dfm_tpu.ops import packed_sample as PS
+    rng = np.random.RandomState(5)
+    feat = jnp.asarray(rng.randn(9, 11, 5).astype(np.float32))
+    coords = jnp.asarray(np.stack([rng.uniform(-1, 11, 300),
+                                   rng.uniform(-1, 9, 300)], -1)
+                         .astype(np.float32))
+    a = grid_sample.bilinear_sample(feat, coords)
+    b = PS.packed_bilinear_sample(PS.pack_taps_2d(feat), coords, 5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    vol = jnp.asarray(rng.randn(6, 7, 8, 3).astype(np.float32))
+    c3 = jnp.asarray(np.stack([rng.uniform(-1, 8, 300),
+                               rng.uniform(-1, 7, 300),
+                               rng.uniform(-1, 6, 300)], -1)
+                     .astype(np.float32))
+    a3 = grid_sample.trilinear_sample(vol, c3)
+    b3 = PS.packed_trilinear_sample(PS.pack_taps_3d(vol), c3, 3)
+    np.testing.assert_allclose(np.asarray(a3), np.asarray(b3), atol=1e-5)
+
+
+def test_packed_fine_softmax_matches_lse_formulation():
+    d, h, w = 6, 8, 10
+    up = 4
+    pad_shape = (h * up, w * up)
+    cost = jnp.asarray(_rand(d, h, w, seed=9))
+    rng = np.random.RandomState(10)
+    q = jnp.asarray(np.stack([
+        rng.uniform(0, pad_shape[1] - 1, 64),
+        rng.uniform(0, pad_shape[0] - 1, 64),
+        rng.uniform(2.0, 59.6, 64)], -1).astype(np.float32))
+    lse = frustum.depth_softmax_lse_map(cost, up, pad_shape, chunk=8)
+    ref = np.asarray(frustum.sample_upsampled_softmax(
+        cost, lse, q, pad_shape, 2.0, 59.6, up))
+    packed = frustum.build_packed_fine_softmax(
+        cost, up, pad_shape, dtype=jnp.float32, kd_chunk=8)
+    out = np.asarray(frustum.sample_fine_softmax_packed(
+        packed, q, pad_shape, 2.0, 59.6, up))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_conv3dsum_matches_lax_conv3d():
+    import flax.linen as nn
+    from dfm_tpu.models.layers import Conv3DSum
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 8, 10, 4).astype(np.float32))
+    for strides in ((1, 1, 1), (2, 2, 2)):
+        m = Conv3DSum(5, (3, 3, 3), strides)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v['params']['kernel'], strides,
+            [(1, 1), (1, 1), (1, 1)],   # torch-style symmetric padding
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
