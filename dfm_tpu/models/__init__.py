@@ -11,3 +11,6 @@ from .detectors.dfm_with_teacher import (DfMWithTeacher, bev_cell_centers,
                                          dfm_loss_with_imitation)
 from .detectors.imitation import cw_scale_normalize, imitation_loss
 from .detectors.teacher import LidarTeacher, voxelize_mean
+from .detectors.fcos_mono3d import (FCOSMono3D, fcos_mono3d_loss,
+                                    fcos_mono3d_predict, mono_level_points)
+from .heads.fcos_mono3d import FCOS3DConfig

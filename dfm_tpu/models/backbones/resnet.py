@@ -1,0 +1,85 @@
+"""Standard ResNet-50/101 backbone (flax), for the mono path.
+
+Equivalent of mmdet `ResNet` as used by FCOS3D / PGD / MV-FCOS3D++
+(R101 w/ DCN in the reference configs). Deformable conv stages are
+substituted with standard convs in this round (documented deviation;
+a Pallas deformable-sampling kernel is the planned equivalent).
+"""
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..layers import apply_norm
+
+STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    norm: str = 'bn'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        d = self.dilation
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      dtype=self.dtype)(x)
+        out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                      kernel_dilation=(d, d), padding=[(d, d), (d, d)],
+                      use_bias=False, dtype=self.dtype)(out)
+        out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
+        out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
+        if self.downsample:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype)(x)
+            identity = apply_norm(self, identity, self.norm, 32, train,
+                                  dtype=self.dtype)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101; returns stage features (strides 4, 8, 16, 32)."""
+    depth: int = 101
+    base_channels: int = 64
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    norm: str = 'bn'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype)(x)
+        x = apply_norm(self, x, self.norm, 32, train, dtype=self.dtype)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        outs = []
+        in_planes = self.base_channels
+        for i, num_blocks in enumerate(STAGE_BLOCKS[self.depth]):
+            planes = self.base_channels * 2**i
+            for b in range(num_blocks):
+                stride = self.strides[i] if b == 0 else 1
+                need_ds = b == 0 and (stride != 1 or in_planes != planes * 4)
+                x = Bottleneck(planes=planes, stride=stride,
+                               dilation=self.dilations[i],
+                               downsample=need_ds, norm=self.norm,
+                               dtype=self.dtype,
+                               name=f'layer{i + 1}_block{b}')(x, train)
+                in_planes = planes * 4
+            if i in self.out_indices:
+                outs.append(x)
+        return outs

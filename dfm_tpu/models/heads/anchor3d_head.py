@@ -154,27 +154,31 @@ def anchor3d_head_loss(preds,
     avg_cls = num_total + normalizer_clamp_value
     avg_reg = jnp.maximum(num_total, normalizer_clamp_value)
 
-    loss_cls = 0.
-    loss_bbox = 0.
-    loss_dir = 0.
-    loss_iou = 0.
+    # per-class terms collected and stacked at the end: accumulating with
+    # `+=` inside the loop triggers a deterministic miscompilation
+    # (loss_bbox -> inf) on the axon TPU backend; the stacked form and the
+    # CPU backend agree. See round-1 notes.
+    terms = {'loss_cls': [], 'loss_bbox': [], 'loss_dir': [],
+             'loss_iou': []}
     for c in range(num_classes):
         t = targets[c]
         anchors = jnp.broadcast_to(
             anchors_per_class[c][None], (b,) + anchors_per_class[c].shape)
-        loss_cls += L.sigmoid_focal_loss(
-            cls_per[c], t['labels'], t['label_weights'], avg_factor=avg_cls)
+        terms['loss_cls'].append(L.sigmoid_focal_loss(
+            cls_per[c], t['labels'], t['label_weights'],
+            avg_factor=avg_cls))
 
         pos_w = t['bbox_weights'][..., None]
         pred_sin, target_sin = add_sin_difference(box_per[c],
                                                   t['bbox_targets'])
-        loss_bbox += L.smooth_l1_loss(
-            pred_sin, target_sin, pos_w, beta=1.0 / 9.0, avg_factor=avg_reg)
+        terms['loss_bbox'].append(L.smooth_l1_loss(
+            pred_sin, target_sin, pos_w, beta=1.0 / 9.0,
+            avg_factor=avg_reg))
 
         if dir_per[c] is not None:
-            loss_dir += L.softmax_cross_entropy(
+            terms['loss_dir'].append(L.softmax_cross_entropy(
                 dir_per[c], t['dir_targets'], t['dir_weights'],
-                avg_factor=avg_reg)
+                avg_factor=avg_reg))
 
         if use_iou_loss:
             decoded_pred = delta_xyzwlhr_decode(anchors, box_per[c])
@@ -186,13 +190,17 @@ def anchor3d_head_loss(preds,
             decoded_tgt = jnp.where(msk, decoded_tgt, anchors)
             flat_p = decoded_pred.reshape(-1, 7)
             flat_t = decoded_tgt.reshape(-1, 7)
-            loss_iou += L.iou3d_loss(flat_p, flat_t, avg_factor=avg_reg)
+            terms['loss_iou'].append(
+                L.iou3d_loss(flat_p, flat_t, avg_factor=avg_reg))
 
-    out = {'loss_cls': loss_weights[0] * loss_cls,
-           'loss_bbox': loss_weights[1] * loss_bbox,
-           'loss_dir': loss_weights[2] * loss_dir}
+    def total(key):
+        return jnp.stack(terms[key]).sum() if terms[key] else jnp.zeros(())
+
+    out = {'loss_cls': loss_weights[0] * total('loss_cls'),
+           'loss_bbox': loss_weights[1] * total('loss_bbox'),
+           'loss_dir': loss_weights[2] * total('loss_dir')}
     if use_iou_loss:
-        out['loss_iou'] = loss_weights[3] * loss_iou
+        out['loss_iou'] = loss_weights[3] * total('loss_iou')
     return out
 
 
