@@ -14,3 +14,8 @@ from .detectors.teacher import LidarTeacher, voxelize_mean
 from .detectors.fcos_mono3d import (FCOSMono3D, fcos_mono3d_loss,
                                     fcos_mono3d_predict, mono_level_points)
 from .heads.fcos_mono3d import FCOS3DConfig
+from .detectors.multiview_dfm import (MultiViewDfM, MVDfMConfig, mvdfm_loss,
+                                      mvdfm_predict)
+from .necks.fpn import FPN
+from .necks.imvoxel_neck import OutdoorImVoxelNeck
+from .backbones.resnet import ResNet

@@ -1,0 +1,194 @@
+"""MultiViewDfM (MV-FCOS3D++): multi-view multi-frame 4D detector (flax).
+
+Equivalent of the reference's `MultiViewDfM`
+(mmdet3d/models/detectors/multiview_dfm.py:14-353), Waymo camsync
+config: per-view ResNet+FPN features (previous frames under
+stop_gradient, :95-97), a 3D anchor-grid of sample points projected
+into every view/frame (`point_sample`, fusion_layers/point_fusion.py:14),
+masked view-sum / frame-mean aggregation (:177-205), reshape to a voxel
+volume, `OutdoorImVoxelNeck` to BEV, and an Anchor3DHead.
+
+TPU-first: views/frames are leading axes of one tensor; sampling uses
+the tap-packed gathers; all masks are static.
+"""
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.anchors import AlignedAnchor3DRangeGenerator
+from ...core.transforms import transform_points
+from ...ops.packed_sample import pack_taps_2d, packed_bilinear_sample
+from ..backbones.resnet import ResNet
+from ..heads.anchor3d_head import (LIGAAnchor3DHead, anchor3d_head_get_bboxes,
+                                   anchor3d_head_loss)
+from ..necks.fpn import FPN
+from ..necks.imvoxel_neck import OutdoorImVoxelNeck
+
+
+@dataclasses.dataclass(frozen=True)
+class MVDfMConfig:
+    """Hyperparameters mirroring configs/dfm/multiview-dfm_r101_dcn_2x16_
+    waymoD5-3d-3class_camsync.py (reduced-size defaults for tests)."""
+    num_classes: int = 3
+    num_views: int = 5
+    num_frames: int = 1                 # 1 = camsync config; >1 = sweeps
+    frame_fusion: str = 'mean'          # 'mean' | 'concat'
+    feat_channels: int = 64             # FPN channels (ref: 64)
+    voxel_range: Tuple[float, ...] = (-35.0, -75.0, -2, 75.0, 75.0, 4)
+    voxel_grid: Tuple[int, int, int] = (12, 240, 300)   # (Nz, Ny, Nx)
+    backbone_depth: int = 101
+    anchor_ranges: Tuple[Tuple[float, ...], ...] = (
+        (-35.0, -75.0, -0.0345, 75.0, 75.0, -0.0345),
+        (-35.0, -75.0, 0.0, 75.0, 75.0, 0.0),
+        (-35.0, -75.0, -0.1188, 75.0, 75.0, -0.1188))
+    anchor_sizes: Tuple[Tuple[float, ...], ...] = (
+        (4.73, 2.08, 1.77), (0.91, 0.84, 1.74), (1.81, 0.84, 1.77))
+    anchor_rotations: Tuple[float, ...] = (0.0, 1.57)
+    dir_offset: float = 0.7854
+    assigner_cfgs: Tuple[dict, ...] = (
+        dict(pos_iou_thr=0.55, neg_iou_thr=0.4, min_pos_iou=0.4),
+        dict(pos_iou_thr=0.5, neg_iou_thr=0.3, min_pos_iou=0.3),
+        dict(pos_iou_thr=0.5, neg_iou_thr=0.3, min_pos_iou=0.3))
+    nms_pre: int = 1024
+    score_thr: float = 0.1
+    nms_thr: float = 0.25
+    max_num: int = 500
+
+    def sample_points(self):
+        """(Nz, Ny, Nx, 3) sample-grid centers via the aligned anchor
+        generator (reference multiview_dfm.py:119-123 uses
+        AlignedAnchor3DRangeGenerator.grid_anchors as the grid)."""
+        gen = AlignedAnchor3DRangeGenerator(
+            ranges=[list(self.voxel_range)], sizes=[[1, 1, 1]],
+            rotations=[0.0])
+        nz, ny, nx = self.voxel_grid
+        a = gen.anchors_single_range(self.voxel_grid, self.voxel_range,
+                                     [1, 1, 1])
+        return a[:, :, :, 0, 0, :3]
+
+    def anchor_generator(self):
+        from ...core.anchors import Anchor3DRangeGenerator
+        return Anchor3DRangeGenerator(
+            ranges=list(self.anchor_ranges), sizes=list(self.anchor_sizes),
+            rotations=list(self.anchor_rotations))
+
+
+class MultiViewDfM(nn.Module):
+    cfg: MVDfMConfig = dataclasses.field(default_factory=MVDfMConfig)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, lidar2img, img_shape, train: bool = False):
+        """Args:
+            imgs: (B, F, V, H, W, 3) normalized multi-frame multi-view
+                images (F frames, first = current).
+            lidar2img: (B, F, V, 4, 4) lidar->image projections (prev
+                frames already rewritten by ego-motion, reference
+                loading.py:122-142).
+            img_shape: (H, W) valid image extent for masking.
+
+        Returns:
+            dict with head outputs + 'bev_feat' + 'volume_feat'.
+        """
+        cfg = self.cfg
+        b, f, v, h, w, _ = imgs.shape
+
+        backbone = ResNet(depth=cfg.backbone_depth, norm='bn',
+                          dtype=self.dtype, name='backbone')
+        fpn = FPN(out_channels=cfg.feat_channels, num_outs=4, start_level=0,
+                  dtype=self.dtype, name='neck')
+
+        flat = imgs.reshape(b * f * v, h, w, 3).astype(self.dtype)
+        feats = fpn(backbone(flat, train), train)
+        feat0 = feats[0]                      # stride-4 level (ref :104)
+        fh, fw, fc = feat0.shape[1:]
+        feat0 = feat0.reshape(b, f, v, fh, fw, fc)
+        # previous frames: no gradients (reference multiview_dfm.py:95-97)
+        if f > 1:
+            feat0 = jnp.concatenate(
+                [feat0[:, :1], jax.lax.stop_gradient(feat0[:, 1:])], axis=1)
+
+        pts = jnp.asarray(self.cfg.sample_points())     # (Nz, Ny, Nx, 3)
+        nz, ny, nx = pts.shape[:3]
+        pts_flat = pts.reshape(-1, 3)
+
+        def sample_one(feat_vw, l2i_vw):
+            """One (frame, view): feat (fh, fw, C), l2i (4, 4)."""
+            uvw = transform_points(pts_flat, l2i_vw)
+            # perspective divide with depth validity
+            depth = uvw[:, 2]
+            uv = uvw[:, :2] / jnp.maximum(jnp.abs(depth), 1e-5)[:, None]
+            valid = ((depth > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < w) &
+                     (uv[:, 1] >= 0) & (uv[:, 1] < h))
+            # feature-map coords (stride 4, align-corners index space)
+            coords = jnp.stack([uv[:, 0] / (w - 1) * (fw - 1),
+                                uv[:, 1] / (h - 1) * (fh - 1)], axis=-1)
+            out = packed_bilinear_sample(pack_taps_2d(feat_vw), coords, fc)
+            return out * valid[:, None].astype(out.dtype), valid
+
+        def sample_batch(feat_b, l2i_b):
+            # feat_b (F, V, fh, fw, C); l2i_b (F, V, 4, 4)
+            samp, valid = jax.vmap(jax.vmap(sample_one))(feat_b, l2i_b)
+            # masked view aggregation: sum / count (reference :177-205)
+            vf = valid.astype(samp.dtype)[..., None]
+            view_sum = (samp * vf).sum(axis=1)
+            view_cnt = vf.sum(axis=1)
+            frame_feats = view_sum / jnp.maximum(view_cnt, 1.0)  # (F, P, C)
+            if cfg.frame_fusion == 'mean' or f == 1:
+                agg = frame_feats.mean(axis=0)
+            else:
+                agg = frame_feats.transpose(1, 0, 2).reshape(
+                    frame_feats.shape[1], -1)
+            return agg
+
+        vol = jax.vmap(sample_batch)(feat0, lidar2img)  # (B, P, C')
+        vol = vol.reshape(b, nz, ny, nx, -1)
+
+        bev = OutdoorImVoxelNeck(in_channels=vol.shape[-1],
+                                 out_channels=256, norm='bn',
+                                 dtype=self.dtype,
+                                 name='neck_3d')(vol, train)
+        head = LIGAAnchor3DHead(
+            num_classes=cfg.num_classes, feat_channels=256, num_convs=0,
+            num_anchors=len(cfg.anchor_sizes) * len(cfg.anchor_rotations),
+            norm='none', dtype=self.dtype, name='bbox_head_3d')
+        cls_score, bbox_pred, dir_pred = head(bev, train)
+        return dict(cls_score=cls_score, bbox_pred=bbox_pred,
+                    dir_pred=dir_pred, bev_feat=bev, volume_feat=vol)
+
+
+def _mv_anchors(cfg: MVDfMConfig, featmap_size):
+    gen = cfg.anchor_generator()
+    grid = gen.grid_anchors(featmap_size)
+    per_class = [
+        jnp.asarray(grid[0, :, :, c].reshape(-1, 7))
+        for c in range(len(cfg.anchor_sizes))
+    ]
+    return per_class, jnp.asarray(grid.reshape(-1, 7))
+
+
+def mvdfm_loss(outputs, batch, cfg: MVDfMConfig, axis_name=None):
+    ny, nx = outputs['cls_score'].shape[1:3]
+    per_class, _ = _mv_anchors(cfg, (ny, nx))
+    losses = anchor3d_head_loss(
+        (outputs['cls_score'], outputs['bbox_pred'], outputs['dir_pred']),
+        per_class, batch['gt_boxes'], batch['gt_labels'], batch['gt_mask'],
+        list(cfg.assigner_cfgs), num_classes=cfg.num_classes,
+        dir_offset=cfg.dir_offset, use_iou_loss=False,
+        loss_weights=(1.0, 2.0, 0.2, 0.0), axis_name=axis_name)
+    return sum(losses.values()), losses
+
+
+def mvdfm_predict(outputs, cfg: MVDfMConfig):
+    ny, nx = outputs['cls_score'].shape[1:3]
+    _, flat = _mv_anchors(cfg, (ny, nx))
+    return anchor3d_head_get_bboxes(
+        (outputs['cls_score'], outputs['bbox_pred'], outputs['dir_pred']),
+        flat, num_classes=cfg.num_classes, dir_offset=cfg.dir_offset,
+        score_thr=cfg.score_thr, nms_thr=cfg.nms_thr, nms_pre=cfg.nms_pre,
+        max_num=cfg.max_num)

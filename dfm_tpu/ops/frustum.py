@@ -92,7 +92,20 @@ def sample_stereo_volume_packed(packed_vol, c, coord_img, pad_shape,
     return out * valid[..., None].astype(out.dtype), valid2d, valid
 
 
-def depth_softmax_lse_map(cost, up_factor, pad_shape, chunk=128):
+def _upsample_hw(cost, pad_shape):
+    """(D, H, W) -> (D, H_f, W_f) align-corners bilinear via matmuls."""
+    d, h, w = cost.shape
+    h_f, w_f = pad_shape
+    hp = jax.lax.Precision.HIGHEST
+    wh = interp_matrix(h, h_f, dtype=jnp.float32)
+    ww = interp_matrix(w, w_f, dtype=jnp.float32)
+    cost_hw = jnp.einsum('ab,dbw->daw', wh, cost.astype(jnp.float32),
+                         precision=hp)
+    return jnp.einsum('cw,daw->dac', ww, cost_hw, precision=hp)
+
+
+def depth_softmax_lse_map(cost, up_factor, pad_shape, chunk=None,
+                          cost_hw=None):
     """Per-fine-pixel logsumexp over the (virtually) x`up_factor`
     trilinearly-upsampled depth axis.
 
@@ -100,72 +113,48 @@ def depth_softmax_lse_map(cost, up_factor, pad_shape, chunk=128):
         cost: (D, H, W) single-channel aggregated depth cost.
         up_factor: integer upsample factor (4 for DfM).
         pad_shape: (H_pad, W_pad) fine spatial size (= up_factor * (H, W)).
+        cost_hw: optional precomputed hw-upsampled cost (shared with
+            `build_packed_fine_softmax`).
 
     Returns:
         (H_pad, W_pad) lse map in f32.
     """
-    d, h, w = cost.shape
+    d = cost.shape[0]
     h_f, w_f = pad_shape
     d_f = d * up_factor
-    wh = interp_matrix(h, h_f, dtype=jnp.float32)       # (H_f, H)
-    ww = interp_matrix(w, w_f, dtype=jnp.float32)       # (W_f, W)
+    if cost_hw is None:
+        cost_hw = _upsample_hw(cost, pad_shape)
     wd = interp_matrix(d, d_f, dtype=jnp.float32)       # (D_f, D)
-    cost = cost.astype(jnp.float32)
-    # spatial upsample first (x16 data), then chunk the D-upsample + lse
     hp = jax.lax.Precision.HIGHEST
-    cost_hw = jnp.einsum('ab,dbw->daw', wh, cost, precision=hp)
-    cost_hw = jnp.einsum('cw,daw->dac', ww, cost_hw, precision=hp)
-
-    import math
-    chunk = math.gcd(w_f, min(chunk, w_f))
-    num_chunks = w_f // chunk
-    cols = cost_hw.reshape(d, h_f, num_chunks, chunk).transpose(2, 0, 1, 3)
-
-    def chunk_lse(col):
-        fine = jnp.einsum('fd,dhc->fhc', wd, col, precision=hp)
-        return jax.nn.logsumexp(fine, axis=0)
-
-    lse = jax.lax.map(chunk_lse, cols)                  # (num, H_f, chunk)
-    return lse.transpose(1, 0, 2).reshape(h_f, w_f)
+    fine = jnp.einsum('fd,dhw->fhw', wd, cost_hw, precision=hp)
+    return jax.nn.logsumexp(fine, axis=0)
 
 
-def build_packed_fine_softmax(cost, up_factor, pad_shape, dtype=jnp.bfloat16,
-                              kd_chunk=32):
+def build_packed_fine_softmax(cost, up_factor, pad_shape,
+                              dtype=jnp.bfloat16, kd_chunk=None):
     """Materialize softmax_D(upsample(cost)) on the fine grid, hw-tap
-    packed: (D_f, H_f, W_f, 4) in `dtype`.
+    packed: (D_f, H_f+1, W_f+1, 4) in `dtype` (lead-padded).
 
-    Built in kd-chunks so the f32 working set stays at
-    (D, H_f, W_f) + one chunk; numerically the softmax subtracts the
-    chunked lse map (exact).
+    The hw-upsampled cost is shared with the lse computation; everything
+    is a handful of MXU matmuls + one exp pass. (Packing the kd taps too
+    was measured SLOWER: the 2x larger table thrashes, 92 -> 152 ms.)
     """
-    import math
     d, h, w = cost.shape
     h_f, w_f = pad_shape
     d_f = d * up_factor
-    kd_chunk = math.gcd(d_f, kd_chunk)
-    lse = depth_softmax_lse_map(cost, up_factor, pad_shape)  # (H_f, W_f)
+    cost_hw = _upsample_hw(cost, pad_shape)
+    lse = depth_softmax_lse_map(cost, up_factor, pad_shape,
+                                cost_hw=cost_hw)
     hp = jax.lax.Precision.HIGHEST
-    wh = interp_matrix(h, h_f, dtype=jnp.float32)
-    ww = interp_matrix(w, w_f, dtype=jnp.float32)
     wd = interp_matrix(d, d_f, dtype=jnp.float32)
-    cost_hw = jnp.einsum('ab,dbw->daw', wh, cost.astype(jnp.float32),
-                         precision=hp)
-    cost_hw = jnp.einsum('cw,daw->dac', ww, cost_hw, precision=hp)
-
-    wd_chunks = wd.reshape(d_f // kd_chunk, kd_chunk, d)
     from .packed_sample import _lead_pad, _shift_minus1
-
-    def chunk_fn(wd_c):
-        fine = jnp.einsum('fd,dhw->fhw', wd_c, cost_hw, precision=hp)
-        sm = jnp.exp(fine - lse[None]).astype(dtype)    # (kd, H_f, W_f)
-        sm = _lead_pad(sm, (1, 2))
-        su = _shift_minus1(sm, 2)
-        sv = _shift_minus1(sm, 1)
-        svu = _shift_minus1(sv, 2)
-        return jnp.stack([sm, su, sv, svu], axis=-1)
-
-    packed = jax.lax.map(chunk_fn, wd_chunks)
-    return packed.reshape(d_f, h_f + 1, w_f + 1, 4)
+    fine = jnp.einsum('fd,dhw->fhw', wd, cost_hw, precision=hp)
+    sm = jnp.exp(fine - lse[None]).astype(dtype)        # (D_f, H_f, W_f)
+    sm = _lead_pad(sm, (1, 2))
+    su = _shift_minus1(sm, 2)
+    sv = _shift_minus1(sm, 1)
+    svu = _shift_minus1(sv, 2)
+    return jnp.stack([sm, su, sv, svu], axis=-1)
 
 
 def sample_fine_softmax_packed(packed_fine, coord_img, pad_shape, depth_min,

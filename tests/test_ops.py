@@ -234,7 +234,7 @@ def test_packed_fine_softmax_matches_lse_formulation():
     ref = np.asarray(frustum.sample_upsampled_softmax(
         cost, lse, q, pad_shape, 2.0, 59.6, up))
     packed = frustum.build_packed_fine_softmax(
-        cost, up, pad_shape, dtype=jnp.float32, kd_chunk=8)
+        cost, up, pad_shape, dtype=jnp.float32)
     out = np.asarray(frustum.sample_fine_softmax_packed(
         packed, q, pad_shape, 2.0, 59.6, up))
     np.testing.assert_allclose(out, ref, atol=1e-5)
