@@ -19,3 +19,5 @@ from .detectors.multiview_dfm import (MultiViewDfM, MVDfMConfig, mvdfm_loss,
 from .necks.fpn import FPN
 from .necks.imvoxel_neck import OutdoorImVoxelNeck
 from .backbones.resnet import ResNet
+from .heads.pgd import PGDConfig, PGDHead, decode_prob_depth, pgd_loss
+from .heads.atss2d import ATSS2DConfig, ATSS2DHead, atss2d_loss, atss_assign

@@ -109,3 +109,40 @@ def test_grads_flow(setup):
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     nonzero = sum(float(jnp.abs(x).sum()) > 0 for x in flat)
     assert nonzero / len(flat) > 0.8
+
+
+def test_pgd_head_and_loss(setup):
+    """PGD extensions: depth-classifier fusion + uncertainty loss."""
+    from dfm_tpu.models import PGDConfig, PGDHead, pgd_loss
+    from dfm_tpu.models.detectors.fcos_mono3d import mono_level_points
+    from dfm_tpu.models.backbones.resnet import ResNet
+    from dfm_tpu.models.necks.fpn import FPN
+    import flax.linen as nn
+
+    cfg = PGDConfig(in_channels=32, feat_channels=32, stacked_convs=1,
+                    depth_branch=(16,), nms_pre=64, max_num=8)
+
+    class PGDNet(nn.Module):
+        @nn.compact
+        def __call__(self, img, train=False):
+            feats = ResNet(depth=50, name='backbone')(img, train)
+            fpn = FPN(out_channels=32, num_outs=5, start_level=1,
+                      name='neck')(feats, train)
+            return PGDHead(cfg=cfg, name='head')(fpn, train)
+
+    model = PGDNet()
+    img = jnp.asarray(
+        np.random.RandomState(1).randn(B, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    outs = jax.jit(lambda v, i: model.apply(v, i))(variables, img)
+    assert 'depth_cls_pred' in outs[0]
+    assert outs[0]['depth_cls_pred'].shape[-1] == cfg.num_depth_cls
+    assert outs[0]['weight'].shape[-1] == 1
+    # fused depth positive (prob expectation >= 0, direct via exp > 0)
+    assert (np.asarray(outs[0]['bbox_pred'][..., 2]) > -1e-3).all()
+
+    batch, _ = _mono_batch()
+    pts = mono_level_points((H, W), cfg)
+    losses = jax.jit(lambda o: pgd_loss(o, pts, cfg, batch))(outs)
+    assert 'loss_depth_uncertain' in losses
+    assert np.isfinite(float(sum(losses.values())))
