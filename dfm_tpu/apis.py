@@ -1,0 +1,122 @@
+"""High-level inference APIs.
+
+Equivalent of the reference's `mmdet3d/apis/inference.py`
+(`init_model`, `inference_mono_3d_detector`) and `apis/test.py`
+(`single_gpu_test`): build + restore a model, run single-image /
+single-pair inference, and loop a dataset producing KITTI-format
+results.
+"""
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ['init_dfm_model', 'inference_dfm', 'init_mono_model',
+           'inference_mono_3d', 'dataset_inference']
+
+
+def init_dfm_model(cfg=None, checkpoint_dir=None, dtype=None):
+    """Build a DfM model (+ jitted infer fn); optionally restore weights.
+
+    Returns (infer_fn, variables) where
+    infer_fn(variables, img, meta) -> padded detections dict.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models import BatchMeta, DfM, DfMConfig, dfm_predict
+
+    cfg = cfg or DfMConfig()
+    model = DfM(cfg=cfg, dtype=dtype or jnp.bfloat16)
+
+    @jax.jit
+    def infer(variables, img, meta):
+        out = model.apply(variables, img, meta, train=False)
+        return dfm_predict(out, cfg)
+
+    def init_variables(img, meta, seed=0):
+        return jax.jit(lambda r: model.init(r, img, meta,
+                                            train=False))(
+            jax.random.PRNGKey(seed))
+
+    def restore(variables, ckpt_dir):
+        from .runtime import CheckpointManager
+        ckpt = CheckpointManager(ckpt_dir)
+        restored = ckpt.restore_model(
+            jax.device_get(variables['params']),
+            jax.device_get(variables.get('batch_stats', {})))
+        return {'params': restored['params'],
+                'batch_stats': restored['batch_stats']}
+
+    return dict(model=model, cfg=cfg, infer=infer,
+                init_variables=init_variables, restore=restore,
+                checkpoint_dir=checkpoint_dir)
+
+
+def inference_dfm(handle, variables, sample):
+    """Run DfM on one pipeline sample dict (see data.pipeline
+    load_video_sample output). Returns a KITTI anno dict."""
+    import jax
+    import jax.numpy as jnp
+    from .evaluation import detections_to_kitti_annos
+    from .models import BatchMeta
+
+    meta = BatchMeta(
+        ori_cam2img=jnp.asarray(sample['ori_cam2img'])[None],
+        cam2img=jnp.asarray(sample['cam2img'])[None],
+        cur2prev=jnp.asarray(sample['cur2prev'])[None],
+        org_w=jnp.asarray([sample['org_w']]),
+        flip=jnp.asarray([sample['flip']]),
+        crop_offset=jnp.asarray(sample['crop_offset'])[None],
+        scale_factor=jnp.asarray([sample['scale_factor']]))
+    det = handle['infer'](variables, jnp.asarray(sample['img'])[None], meta)
+    det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
+    return detections_to_kitti_annos(
+        det0, np.asarray(sample['ori_cam2img'])[:3],
+        (int(sample['org_w'] * 0.3), int(sample['org_w'])))
+
+
+def init_mono_model(cfg=None, backbone_depth=101, dtype=None):
+    """Build a FCOS3D mono model + jitted infer fn."""
+    import jax
+    import jax.numpy as jnp
+    from .models import FCOS3DConfig, FCOSMono3D, fcos_mono3d_predict
+
+    cfg = cfg or FCOS3DConfig()
+    model = FCOSMono3D(cfg=cfg, backbone_depth=backbone_depth,
+                       dtype=dtype or jnp.bfloat16)
+
+    def make_infer(img_hw):
+        @jax.jit
+        def infer(variables, img, cam2img):
+            outs = model.apply(variables, img, train=False)
+            return fcos_mono3d_predict(outs, img_hw, cam2img, cfg)
+        return infer
+
+    return dict(model=model, cfg=cfg, make_infer=make_infer)
+
+
+def inference_mono_3d(handle, variables, image, cam2img):
+    """Single-image mono 3D inference (reference
+    `inference_mono_3d_detector`): image (H, W, 3) raw BGR uint8/float,
+    cam2img (3, 4)/(4, 4). Returns camera-frame padded detections."""
+    import jax.numpy as jnp
+    from .data.pipeline import normalize_image
+
+    img = normalize_image(np.asarray(image, np.float32))[None]
+    h, w = img.shape[1:3]
+    cam = np.eye(4, dtype=np.float32)
+    c = np.asarray(cam2img)
+    cam[:c.shape[0], :c.shape[1]] = c
+    infer = handle['make_infer']((h, w))
+    return infer(variables, jnp.asarray(img), jnp.asarray(cam)[None])
+
+
+def dataset_inference(handle, variables, dataset, max_samples=None):
+    """single_gpu_test equivalent: loop a dataset, return KITTI annos."""
+    rng = np.random.default_rng(0)
+    n = min(len(dataset), max_samples or len(dataset))
+    out = []
+    for i in range(n):
+        sample = dataset.get_sample(i, rng)
+        out.append(inference_dfm(handle, variables, sample))
+    return out

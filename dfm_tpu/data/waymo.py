@@ -1,0 +1,128 @@
+"""Waymo multi-view dataset (kitti_format layout), for MV-FCOS3D++.
+
+Equivalent of the reference's `WaymoDataset` multi-view machinery
+(mmdet3d/datasets/waymo_dataset.py:21-1007 `load_mode='lidar_frame'`,
+cam_sync annos, multi-sweep assembly) and the multi-view loader
+(`LoadMultiViewImageFromFiles`, pipelines/loading.py:15-205: per-frame
+lidar2img selection, ego-motion-rewritten prev-frame lidar2img, padding
+heterogeneous view shapes).
+
+Info schema (produced by `build_waymo_infos` from a kitti_format tree,
+or convertible from the official TFRecords offline):
+
+  info = {
+    'sample_idx': int,
+    'images': [{'image_path', 'lidar2img' (4,4), 'cam2img' (4,4)}...],  # V views
+    'ego2global': (4, 4),
+    'sweeps': [{'images': [...], 'ego2global'}, ...],   # previous frames
+    'annos': {'gt_boxes' (G, 7) vehicle/lidar frame, 'labels', 'names'},
+  }
+
+The TFRecord -> kitti_format conversion itself requires the
+waymo-open-dataset package (absent in this image); `build_waymo_infos`
+consumes the already-converted tree, matching the reference's two-stage
+flow (tools/create_data.py waymo -> kitti_format -> infos).
+"""
+
+import os
+import pickle
+
+import numpy as np
+
+__all__ = ['WaymoDataset', 'assemble_multiview_sample', 'WAYMO_CLASSES']
+
+WAYMO_CLASSES = ('Car', 'Pedestrian', 'Cyclist')
+
+
+def _pad44(m):
+    out = np.eye(4)
+    out[:np.asarray(m).shape[0], :np.asarray(m).shape[1]] = m
+    return out
+
+
+def assemble_multiview_sample(info,
+                              data_root,
+                              num_frames=1,
+                              target_hw=(640, 960),
+                              num_views=5,
+                              max_gt=64,
+                              normalize=True):
+    """Build the (F, V, H, W, 3) image stack + (F, V, 4, 4) lidar2img.
+
+    Previous frames' lidar2img are rewritten by ego-motion so all frames
+    project from the CURRENT vehicle frame (reference
+    loading.py:122-142): l2i_prev' = l2i_prev @ inv(prev_e2g) @ cur_e2g.
+    Missing views/frames degrade to zero images with identity masks
+    handled by the model's validity logic (zero features).
+    """
+    import cv2
+    from .pipeline import IMG_MEAN, IMG_STD
+
+    cur_e2g = _pad44(info.get('ego2global', np.eye(4)))
+    frames = [dict(images=info['images'], ego2global=cur_e2g)]
+    for sweep in info.get('sweeps', [])[:max(num_frames - 1, 0)]:
+        frames.append(dict(images=sweep['images'],
+                           ego2global=_pad44(sweep['ego2global'])))
+    while len(frames) < num_frames:          # static-scene fallback
+        frames.append(frames[-1])
+
+    h_t, w_t = target_hw
+    imgs = np.zeros((num_frames, num_views, h_t, w_t, 3), np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32),
+                  (num_frames, num_views, 1, 1))
+    for fi, frame in enumerate(frames):
+        rel = np.linalg.inv(frame['ego2global']) @ cur_e2g
+        for vi, cam in enumerate(frame['images'][:num_views]):
+            path = os.path.join(data_root, cam['image_path'])
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            # pad/crop heterogeneous view shapes to one static size
+            # (reference loading.py:157-170 pads to the max shape)
+            scale = min(h_t / img.shape[0], w_t / img.shape[1])
+            nh, nw = int(img.shape[0] * scale), int(img.shape[1] * scale)
+            img = cv2.resize(img, (nw, nh)).astype(np.float32)
+            if normalize:
+                img = (img - IMG_MEAN) / IMG_STD
+            imgs[fi, vi, :nh, :nw] = img
+            m = _pad44(np.asarray(cam['lidar2img'], np.float64))
+            scale_m = np.diag([scale, scale, 1.0, 1.0])
+            l2i[fi, vi] = (scale_m @ m @ rel).astype(np.float32)
+
+    out = dict(imgs=imgs, lidar2img=l2i)
+    annos = info.get('annos', {})
+    g = min(len(annos.get('labels', [])), max_gt)
+    gt = np.zeros((max_gt, 7), np.float32)
+    gl = np.zeros((max_gt,), np.int64)
+    gm = np.zeros((max_gt,), bool)
+    if g:
+        gt[:g] = np.asarray(annos['gt_boxes'], np.float32)[:g]
+        gl[:g] = np.asarray(annos['labels'], np.int64)[:g]
+        gm[:g] = True
+    out.update(gt_boxes=gt, gt_labels=gl, gt_mask=gm)
+    return out
+
+
+class WaymoDataset:
+    """Info-file-backed multi-view dataset."""
+
+    def __init__(self, data_root, info_path_or_list, num_frames=1,
+                 target_hw=(640, 960), num_views=5, max_gt=64):
+        self.data_root = data_root
+        if isinstance(info_path_or_list, str):
+            with open(info_path_or_list, 'rb') as f:
+                self.infos = pickle.load(f)
+        else:
+            self.infos = info_path_or_list
+        self.num_frames = num_frames
+        self.target_hw = target_hw
+        self.num_views = num_views
+        self.max_gt = max_gt
+
+    def __len__(self):
+        return len(self.infos)
+
+    def get_sample(self, idx):
+        return assemble_multiview_sample(
+            self.infos[idx], self.data_root, self.num_frames,
+            self.target_hw, self.num_views, self.max_gt)
