@@ -278,3 +278,121 @@ def sample_sem_features_packed(packed_sem, c, coord_img, pad_shape, valid2d):
     out = packed_bilinear_sample(
         packed_sem, jnp.stack([x_idx, y_idx], axis=-1), c)
     return out * valid2d[..., None].astype(out.dtype)
+
+
+def build_base27_tables(cost, up_factor, pad_shape, dtype=jnp.float32):
+    """Tables for `sample_softmax_base27`: the 3^3-corner-packed BASE
+    cost volume (D, H, W, 27) and the 4-tap-packed fine lse map
+    (H_f, W_f, 4).
+
+    All 8 fine interpolation taps of one voxel query read base corners
+    within a 3x3x3 neighborhood (fine spacing = ~1/4 base cell), so ONE
+    row of the 27-packed table serves a whole query; the fine volume is
+    never built.
+
+    PERF WARNING (measured): the per-corner `take_along_axis` over the
+    27-lane axis lowers catastrophically on TPU (2.3 s vs 92 ms for the
+    fine-packed path) — kept as the memory-minimal exact formulation and
+    as a Pallas-kernel blueprint, NOT used on the hot path.
+    """
+    from .packed_sample import _shift_minus1
+    lse = depth_softmax_lse_map(cost, up_factor, pad_shape)
+    # 4-tap-packed lse (no lead pad needed: fine indices are >= 0)
+    l_u = _shift_minus1(lse, 1)
+    l_v = _shift_minus1(lse, 0)
+    l_vu = _shift_minus1(l_v, 1)
+    lse4 = jnp.stack([lse, l_u, l_v, l_vu], axis=-1)
+
+    base = cost.astype(dtype)
+    outs = []
+    sz = base
+    for dz in range(3):
+        sy = sz
+        for dy in range(3):
+            sx = sy
+            for dx in range(3):
+                outs.append(sx)
+                sx = _shift_minus1(sx, 2)
+            sy = _shift_minus1(sy, 1)
+        sz = _shift_minus1(sz, 0)
+    base27 = jnp.stack(outs, axis=-1)   # (D, H, W, 27)
+    return base27, lse4
+
+
+def sample_softmax_base27(base27, lse4, coord_img, pad_shape, depth_min,
+                          depth_max, up_factor=4):
+    """Exact softmax(upsample(cost)) sampling with 2 gathers per query
+    from small tables (see `build_base27_tables`)."""
+    d, h, w = base27.shape[:3]
+    h_f, w_f = lse4.shape[:2]
+    d_f = d * up_factor
+    pad_h, pad_w = pad_shape
+    u, v, dep = coord_img[..., 0], coord_img[..., 1], coord_img[..., 2]
+    x_f = u / (pad_w - 1) * (w_f - 1)
+    y_f = v / (pad_h - 1) * (h_f - 1)
+    z_f = (dep - depth_min) / (depth_max - depth_min) * (d_f - 1)
+    valid = ((u >= 0) & (u <= pad_w) & (v >= 0) & (v <= pad_h) &
+             (dep >= depth_min) & (dep <= depth_max))
+
+    x0 = jnp.floor(x_f)
+    y0 = jnp.floor(y_f)
+    z0 = jnp.floor(z_f)
+    fx, fy, fz = x_f - x0, y_f - y0, z_f - z0
+    xi0 = jnp.clip(x0, 0, w_f - 1).astype(jnp.int32)
+    yi0 = jnp.clip(y0, 0, h_f - 1).astype(jnp.int32)
+    zi0 = jnp.clip(z0, 0, d_f - 1).astype(jnp.int32)
+
+    # fine->base coordinate scales (align-corners)
+    sx = (w - 1) / (w_f - 1)
+    sy = (h - 1) / (h_f - 1)
+    sz = (d - 1) / (d_f - 1)
+
+    # shared base corner origin of all 8 fine taps
+    bx0 = jnp.floor(xi0.astype(jnp.float32) * sx)
+    by0 = jnp.floor(yi0.astype(jnp.float32) * sy)
+    bz0 = jnp.floor(zi0.astype(jnp.float32) * sz)
+    rows27 = jnp.take(
+        base27.reshape(d * h * w, 27),
+        (bz0.astype(jnp.int32) * h + by0.astype(jnp.int32)) * w +
+        bx0.astype(jnp.int32), axis=0)                    # (..., 27)
+    lrows = jnp.take(
+        lse4.reshape(h_f * w_f, 4),
+        yi0 * w_f + xi0, axis=0)                           # (..., 4)
+
+    def base_tri(zi, yi, xi):
+        """F at a fine-integer tap via trilinear of the gathered 27."""
+        bx = xi.astype(jnp.float32) * sx
+        by = yi.astype(jnp.float32) * sy
+        bz = zi.astype(jnp.float32) * sz
+        ax0 = jnp.floor(bx) - bx0   # in {0, 1}
+        ay0 = jnp.floor(by) - by0
+        az0 = jnp.floor(bz) - bz0
+        gx, gy, gz = bx - jnp.floor(bx), by - jnp.floor(by), \
+            bz - jnp.floor(bz)
+        val = 0.
+        for oz, wz in ((0, 1 - gz), (1, gz)):
+            for oy, wy in ((0, 1 - gy), (1, gy)):
+                for ox, wx in ((0, 1 - gx), (1, gx)):
+                    idx = ((az0 + oz) * 3 + (ay0 + oy)) * 3 + (ax0 + ox)
+                    sel = jnp.take_along_axis(
+                        rows27, idx.astype(jnp.int32)[..., None],
+                        axis=-1)[..., 0]
+                    val = val + (wx * wy * wz) * sel.astype(jnp.float32)
+        return val
+
+    out = 0.
+    for dz, wz, vz in ((0, 1 - fz, (z0 >= 0) & (z0 <= d_f - 1)),
+                       (1, fz, (z0 + 1 >= 0) & (z0 + 1 <= d_f - 1))):
+        zi = jnp.clip(z0 + dz, 0, d_f - 1).astype(jnp.int32)
+        for tap_i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            wy = (1 - fy) if dy == 0 else fy
+            wx = (1 - fx) if dx == 0 else fx
+            vy = (y0 + dy >= 0) & (y0 + dy <= h_f - 1)
+            vx = (x0 + dx >= 0) & (x0 + dx <= w_f - 1)
+            yi = jnp.clip(y0 + dy, 0, h_f - 1).astype(jnp.int32)
+            xi = jnp.clip(x0 + dx, 0, w_f - 1).astype(jnp.int32)
+            f_val = base_tri(zi, yi, xi)
+            lse = lrows[..., tap_i].astype(jnp.float32)
+            prob = jnp.exp(f_val - lse)
+            out = out + (wx * wy * wz) * (vx & vy & vz) * prob
+    return jnp.where(valid, out, 0.0)

@@ -255,3 +255,43 @@ def test_conv3dsum_matches_lax_conv3d():
             dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+def test_base27_softmax_matches_lse_formulation():
+    from dfm_tpu.ops.frustum import (build_base27_tables,
+                                     sample_softmax_base27)
+    d, h, w = 6, 8, 10
+    up = 4
+    pad_shape = (h * up, w * up)
+    cost = jnp.asarray(_rand(d, h, w, seed=13))
+    rng = np.random.RandomState(14)
+    # interior queries (at the 1-px border band the legacy lse-path
+    # border-replicates while torch zero-pads; base27 is torch-faithful)
+    q = jnp.asarray(np.stack([
+        rng.uniform(0, pad_shape[1] - 1, 200),
+        rng.uniform(0, pad_shape[0] - 1, 200),
+        rng.uniform(2.0, 59.6, 200)], -1).astype(np.float32))
+    lse = frustum.depth_softmax_lse_map(cost, up, pad_shape)
+    ref = np.asarray(frustum.sample_upsampled_softmax(
+        cost, lse, q, pad_shape, 2.0, 59.6, up))
+    b27, lse4 = build_base27_tables(cost, up, pad_shape)
+    out = np.asarray(sample_softmax_base27(
+        b27, lse4, q, pad_shape, 2.0, 59.6, up))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # torch oracle on the same interior queries
+    import torch
+    import torch.nn.functional as F
+    tcost = torch.from_numpy(np.asarray(cost))[None, None]
+    fine = F.interpolate(tcost, scale_factor=up, mode='trilinear',
+                         align_corners=True)
+    sm = torch.softmax(fine, dim=2)
+    qn = np.asarray(q)
+    gx = qn[:, 0] / (pad_shape[1] - 1) * 2 - 1
+    gy = qn[:, 1] / (pad_shape[0] - 1) * 2 - 1
+    gz = (qn[:, 2] - 2.0) / (59.6 - 2.0) * 2 - 1
+    tgrid = torch.from_numpy(np.stack([gx, gy, gz], -1).astype(
+        np.float32))[None, :, None, None, :]
+    tref = F.grid_sample(sm, tgrid, align_corners=True)[
+        0, 0, :, 0, 0].numpy()
+    np.testing.assert_allclose(out, tref, atol=1e-5)
