@@ -23,3 +23,4 @@ from .heads.pgd import PGDConfig, PGDHead, decode_prob_depth, pgd_loss
 from .heads.atss2d import ATSS2DConfig, ATSS2DHead, atss2d_loss, atss_assign
 from .detectors.voxelnet import (VoxelNet, VoxelNetConfig, voxelnet_loss,
                                  voxelnet_predict)
+from .detectors.dfm_full import DfMFull, dfm_full_loss
