@@ -31,6 +31,8 @@ class CheckpointManager:
         """`state` is a runtime.train.TrainState (or anything with step /
         params / batch_stats / opt_state attributes)."""
         ocp = self._ocp
+        if step == self.latest_step():
+            return
         model = dict(step=state.step, params=state.params,
                      batch_stats=state.batch_stats)
         opt = dict(opt_state=state.opt_state)

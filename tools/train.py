@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument('--auto-resume', action='store_true')
     p.add_argument('--max-steps', type=int, default=None,
                    help='cap total steps (debug)')
+    p.add_argument('--eval-samples', type=int, default=None,
+                   help='cap val samples per eval (debug)')
     p.add_argument('--seed', type=int, default=0)
     return p.parse_args()
 
@@ -119,6 +121,41 @@ def main():
     train_step = make_train_step(
         model, lambda o, bt, r: dfm_loss(o, bt, mcfg, r))
 
+    # EvalHook equivalent: run KITTI eval on the val split periodically
+    val_info = os.path.join(d.data_root, 'kitti_infos_val.pkl')
+    val_ds = None
+    if os.path.exists(val_info):
+        val_ds = KittiDataset(
+            d.data_root, val_info, train=False,
+            pipeline_kwargs=dict(crop_size=tuple(d.crop_size),
+                                 max_gt=d.max_gt))
+
+    def run_eval(state):
+        if val_ds is None:
+            return
+        from dfm_tpu.apis import dataset_inference, init_dfm_model
+        from dfm_tpu.evaluation import kitti_eval
+        handle = init_dfm_model(mcfg, dtype=jnp.float32)
+        variables_eval = {'params': state.params,
+                          'batch_stats': state.batch_stats}
+        n = args.eval_samples or len(val_ds)
+        dt_annos = dataset_inference(handle, variables_eval, val_ds,
+                                     max_samples=n)
+        gt_annos = []
+        for info in val_ds.infos[:n]:
+            a = info['annos']
+            pl = a['gt_boxes_pl']
+            gt_annos.append(dict(
+                name=np.asarray(a['names']), truncated=a['truncated'],
+                occluded=a['occluded'], bbox=a['bbox2d'],
+                dimensions=np.stack([pl[:, 3], pl[:, 5], pl[:, 4]], 1),
+                location=np.stack([-pl[:, 1], -pl[:, 2], pl[:, 0]], 1),
+                rotation_y=-pl[:, 6] - np.pi / 2))
+        res = kitti_eval(gt_annos, dt_annos)
+        for k in sorted(res):
+            if '3d_moderate' in k:
+                print(f'[eval] {k}: {res[k]:.4f}', flush=True)
+
     with mesh:
         state = replicate(state, mesh)
         key = jax.random.PRNGKey(args.seed)
@@ -150,6 +187,9 @@ def main():
             if step % (cfg.checkpoint.interval_epochs *
                        steps_per_epoch) == 0:
                 ckpt.save(step, jax.device_get(state))
+                if step % (cfg.schedule.eval_interval *
+                           steps_per_epoch) == 0:
+                    run_eval(state)
         ckpt.save(step, jax.device_get(state), force=True)
     print('training done')
 
