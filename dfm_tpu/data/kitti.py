@@ -128,8 +128,31 @@ def build_kitti_infos(data_root, split_ids, split='training',
         # annotations
         label_file = os.path.join(base, 'label_2', sid + '.txt')
         if os.path.exists(label_file):
-            objs = parse_label_file(label_file)
-            objs = [o for o in objs if o['name'] != 'DontCare']
+            all_objs = parse_label_file(label_file)
+            # EVAL annotations keep every object with its ORIGINAL name:
+            # kitti_eval.clean_data classifies Van/Person_sitting as
+            # ignore-class for Car/Pedestrian and uses DontCare regions
+            # to discount FPs (reference eval protocol). Remapping or
+            # dropping them here would corrupt AP (ADVICE r1).
+            info['annos_eval'] = {
+                'name': np.array([o['name'] for o in all_objs]),
+                'truncated': np.array(
+                    [o['truncated'] for o in all_objs], np.float32),
+                'occluded': np.array(
+                    [o['occluded'] for o in all_objs], np.int64),
+                'alpha': np.array(
+                    [o['alpha'] for o in all_objs], np.float32),
+                'bbox': (np.stack([o['bbox2d'] for o in all_objs])
+                         if all_objs else np.zeros((0, 4), np.float32)),
+                'dimensions': (np.stack([o['dims'] for o in all_objs])
+                               if all_objs else np.zeros((0, 3), np.float32)),
+                'location': (np.stack([o['loc'] for o in all_objs])
+                             if all_objs else np.zeros((0, 3), np.float32)),
+                'rotation_y': np.array(
+                    [o['yaw'] for o in all_objs], np.float32),
+            }
+            # TRAINING GT: drop DontCare, remap similar classes
+            objs = [o for o in all_objs if o['name'] != 'DontCare']
             names = []
             for o in objs:
                 n = o['name']

@@ -86,7 +86,7 @@ def resize_frame(sample: Sample, img, scale_factor, is_cur):
     h, w = img.shape[:2]
     new_w = int(w * scale_factor + 0.5)
     new_h = int(h * scale_factor + 0.5)
-    img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_NEAREST)
+    img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     if is_cur:
         sample.calib.scale(scale_factor)
         sample.scale_factor = scale_factor
@@ -129,17 +129,19 @@ def apply_photometric(img, rng,
     mode = rng.integers(2)
     if mode == 1 and rng.integers(2):
         img *= rng.uniform(*contrast_range)
-    # saturation / hue in HSV
-    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                       cv2.COLOR_BGR2HSV).astype(np.float32)
+    # saturation / hue in float32 HSV (mmcv bgr2hsv: H in [0, 360),
+    # S/V in [0, 1]); uint8 HSV would halve the hue scale and break the
+    # wrap logic (hue_delta=18 is written for the 0-360 scale)
+    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.float32) / 255.0,
+                       cv2.COLOR_BGR2HSV)
     if rng.integers(2):
-        hsv[..., 1] *= rng.uniform(*saturation_range)
+        hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(*saturation_range),
+                              0, 1)
     if rng.integers(2):
         hsv[..., 0] += rng.uniform(-hue_delta, hue_delta)
         hsv[..., 0][hsv[..., 0] > 360] -= 360
         hsv[..., 0][hsv[..., 0] < 0] += 360
-    img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8),
-                       cv2.COLOR_HSV2BGR).astype(np.float32)
+    img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR) * 255.0
     if mode == 0 and rng.integers(2):
         img *= rng.uniform(*contrast_range)
     if rng.integers(2):

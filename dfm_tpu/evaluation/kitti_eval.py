@@ -48,11 +48,14 @@ def _rect_poly_area2(corners1, corners2):
     r = (np.roll(corners1, -1, 1) - corners1)[:, None, :, None, :]
     q = corners2[None, :, None, :, :]                   # (1,M,1,4,2)
     s = (np.roll(corners2, -1, 1) - corners2)[None, :, None, :, :]
+    def cross2(a, b):
+        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
     qp = q - p
-    rxs = np.cross(r, s)
+    rxs = cross2(r, s)
     with np.errstate(divide='ignore', invalid='ignore'):
-        t = np.cross(qp, s) / rxs
-        u = np.cross(qp, r) / rxs
+        t = cross2(qp, s) / rxs
+        u = cross2(qp, r) / rxs
     valid = (np.abs(rxs) > 1e-10) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
     t_safe = np.clip(np.nan_to_num(t, posinf=0.0, neginf=0.0), 0.0, 1.0)
     inter_pts = p + t_safe[..., None] * r               # (N,M,4,4,2)
@@ -134,15 +137,23 @@ def d3_box_overlap(boxes1, boxes2):
     return inter / np.maximum(v1[:, None] + v2[None] - inter, 1e-8)
 
 
-def image_box_overlap(boxes1, boxes2):
-    """2D xyxy IoU."""
+def image_box_overlap(boxes1, boxes2, criterion=-1):
+    """2D xyxy overlap. criterion=-1: IoU; 0: intersection / area(boxes1)
+    (IoF w.r.t. the first argument, used for DontCare matching —
+    reference eval.py image_box_overlap)."""
     lt = np.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
     rb = np.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
     wh = np.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     a1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
     a2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
-    return inter / np.maximum(a1[:, None] + a2[None] - inter, 1e-8)
+    if criterion == 0:
+        denom = np.broadcast_to(a1[:, None], inter.shape)
+    elif criterion == 1:
+        denom = np.broadcast_to(a2[None, :], inter.shape)
+    else:
+        denom = a1[:, None] + a2[None] - inter
+    return inter / np.maximum(denom, 1e-8)
 
 
 def clean_data(gt_anno, dt_anno, current_class, difficulty):
@@ -194,9 +205,10 @@ def clean_data(gt_anno, dt_anno, current_class, difficulty):
 
 def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
                         dc_bboxes, min_overlap, thresh=0.0,
-                        compute_fp=False):
-    """TP/FP/FN + matched thresholds for one image (eval.py
-    `compute_statistics_jit` semantics)."""
+                        compute_fp=False, metric='bbox',
+                        compute_aos=False):
+    """TP/FP/FN + matched thresholds (+ AOS similarity) for one image
+    (eval.py `compute_statistics_jit` semantics)."""
     dt_scores = dt_anno['score']
     num_gt, num_dt = len(ignored_gt), len(ignored_dt)
     assigned = np.zeros(num_dt, bool)
@@ -204,7 +216,9 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
     if compute_fp:
         ignored_threshold = dt_scores < thresh
     tp = fp = fn = 0
+    similarity = 0.0
     thresholds = []
+    delta = []
     for i in range(num_gt):
         if ignored_gt[i] == -1:
             continue
@@ -241,17 +255,24 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
         elif valid_detection != -np.inf:
             tp += 1
             thresholds.append(dt_scores[det_idx])
+            if compute_aos:
+                delta.append(gt_anno['alpha'][i] - dt_anno['alpha'][det_idx])
             assigned[det_idx] = True
     if compute_fp:
         for j in range(num_dt):
             if not (assigned[j] or ignored_dt[j] in (-1, 1) or
                     ignored_threshold[j]):
                 fp += 1
-        # subtract detections matched to DontCare regions
+        # subtract detections matched to DontCare regions — ONLY for the
+        # bbox metric and with intersection/detection-area overlap
+        # (reference compute_statistics_jit: `if metric == 0`,
+        # image_box_overlap criterion=0)
         nstuff = 0
-        if len(dc_bboxes) > 0:
+        if metric == 'bbox' and len(dc_bboxes) > 0:
             dc = np.asarray(dc_bboxes, np.float64).reshape(-1, 4)
-            ov = image_box_overlap(dt_anno['bbox'], dc)
+            ov = image_box_overlap(
+                np.asarray(dt_anno['bbox'], np.float64).reshape(-1, 4),
+                dc, criterion=0)
             for j in range(num_dt):
                 if assigned[j] or ignored_dt[j] in (-1, 1) or \
                         ignored_threshold[j]:
@@ -260,7 +281,11 @@ def _compute_statistics(overlaps, gt_anno, dt_anno, ignored_gt, ignored_dt,
                     assigned[j] = True
                     nstuff += 1
         fp -= nstuff
-    return tp, fp, fn, np.asarray(thresholds)
+        if compute_aos:
+            # fp detections contribute similarity 0; tps (1+cos d)/2
+            sims = (1.0 + np.cos(np.asarray(delta))) / 2.0
+            similarity = float(sims.sum()) if (tp > 0 or fp > 0) else -1.0
+    return tp, fp, fn, similarity, np.asarray(thresholds)
 
 
 def get_thresholds(scores, num_gt, num_sample_pts=41):
@@ -281,17 +306,19 @@ def get_thresholds(scores, num_gt, num_sample_pts=41):
 
 
 def eval_class(gt_annos, dt_annos, current_class, difficulty, metric,
-               min_overlap, num_sample_pts=41):
-    """AP for one (class, difficulty, metric).
+               min_overlap, num_sample_pts=41, compute_aos=False):
+    """AP (and optionally AOS) for one (class, difficulty, metric).
 
     Args:
         gt_annos/dt_annos: lists of KITTI-format anno dicts per image:
             name, truncated, occluded, bbox (N,4), location (N,3),
-            dimensions (N,3 l,h,w), rotation_y (N,), [score].
+            dimensions (N,3 l,h,w), rotation_y (N,), [alpha], [score].
         metric: 'bbox' | 'bev' | '3d'.
+        compute_aos: also return average orientation similarity
+            (only meaningful with metric='bbox').
 
     Returns:
-        AP (R40, percent).
+        AP (R40, percent); or (AP, AOS) if compute_aos.
     """
     stats = []
     for gt, dt in zip(gt_annos, dt_annos):
@@ -329,45 +356,76 @@ def eval_class(gt_annos, dt_annos, current_class, difficulty, metric,
 
     total_valid_gt = sum(s[6] for s in stats)
     if total_valid_gt == 0:
-        return 0.0
+        return (0.0, 0.0) if compute_aos else 0.0
     # pass 1: matched scores at min_overlap -> thresholds
     all_thresh = []
     for ov, gt, dt, ign_gt, ign_dt, dc, nv in stats:
-        _, _, _, th = _compute_statistics(
-            ov, gt, dt, ign_gt, ign_dt, dc, min_overlap, compute_fp=False)
+        _, _, _, _, th = _compute_statistics(
+            ov, gt, dt, ign_gt, ign_dt, dc, min_overlap, compute_fp=False,
+            metric=metric)
         all_thresh.append(th)
     thresholds = get_thresholds(
         np.concatenate(all_thresh) if all_thresh else np.zeros(0),
         total_valid_gt, num_sample_pts)
-    if len(thresholds) == 0:
-        return 0.0
-    # pass 2: pr curve
-    pr = np.zeros((len(thresholds), 3))
+    # pass 2: pr curve over a FIXED num_sample_pts grid; unreached recall
+    # points keep precision 0 (reference eval_class + get_mAP40: the
+    # precision array is (.., num_sample_pts) zero-initialized, summed
+    # over indices 1..40 and divided by 40 — AP is NOT the mean over
+    # only the achieved thresholds).
+    pr = np.zeros((len(thresholds), 4))
     for t, thresh in enumerate(thresholds):
         for ov, gt, dt, ign_gt, ign_dt, dc, nv in stats:
-            tp, fp, fn, _ = _compute_statistics(
+            tp, fp, fn, sim, _ = _compute_statistics(
                 ov, gt, dt, ign_gt, ign_dt, dc, min_overlap,
-                thresh=thresh, compute_fp=True)
-            pr[t] += (tp, fp, fn)
-    precisions = pr[:, 0] / np.maximum(pr[:, 0] + pr[:, 1], 1e-8)
-    # max-interpolated precision, sampled every point, skip recall 0
-    for i in range(len(precisions)):
+                thresh=thresh, compute_fp=True, metric=metric,
+                compute_aos=compute_aos)
+            pr[t, :3] += (tp, fp, fn)
+            if compute_aos and sim != -1:
+                pr[t, 3] += sim
+    precisions = np.zeros(num_sample_pts)
+    aos = np.zeros(num_sample_pts)
+    denom = np.maximum(pr[:, 0] + pr[:, 1], 1e-8)
+    precisions[:len(thresholds)] = pr[:, 0] / denom
+    if compute_aos:
+        aos[:len(thresholds)] = pr[:, 3] / denom
+    # max-interpolate (zero padding is unaffected: suffix max of 0s = 0)
+    for i in range(num_sample_pts):
         precisions[i] = precisions[i:].max()
-    return float(precisions[1:].mean() * 100) if len(precisions) > 1 \
-        else float(precisions.mean() * 100)
+        aos[i] = aos[i:].max()
+    ap = float(precisions[1:].sum() / (num_sample_pts - 1) * 100)
+    if compute_aos:
+        return ap, float(aos[1:].sum() / (num_sample_pts - 1) * 100)
+    return ap
+
+
+# per-metric min-overlap tables (reference kitti_eval overlap_0_7 /
+# overlap_0_5 arrays: rows bbox/bev/3d x columns per class). Note the
+# 2D-bbox threshold does NOT relax at the loose setting.
+MIN_OVERLAPS = {
+    'strict': {'bbox': OVERLAP_07, 'bev': OVERLAP_07, '3d': OVERLAP_07},
+    'loose': {'bbox': OVERLAP_07, 'bev': OVERLAP_05, '3d': OVERLAP_05},
+}
 
 
 def kitti_eval(gt_annos, dt_annos, classes=CLASS_NAMES,
-               metrics=('bbox', 'bev', '3d')):
+               metrics=('bbox', 'bev', '3d'), eval_aos=True):
     """Full evaluation: AP per class x difficulty x metric at both
-    overlap settings. Returns a nested dict + a formatted string."""
+    overlap settings (+ AOS alongside bbox when alpha present)."""
+    have_alpha = eval_aos and all(
+        'alpha' in a and len(np.atleast_1d(a.get('alpha', []))) ==
+        len(a['name']) for a in dt_annos) and all(
+        'alpha' in a for a in gt_annos)
     results = {}
     for cls in classes:
         for metric in metrics:
             for diff, diff_name in enumerate(('easy', 'moderate', 'hard')):
-                for tag, table in (('strict', OVERLAP_07),
-                                   ('loose', OVERLAP_05)):
+                for tag in ('strict', 'loose'):
+                    min_ov = MIN_OVERLAPS[tag][metric][cls]
+                    want_aos = have_alpha and metric == 'bbox'
                     ap = eval_class(gt_annos, dt_annos, cls, diff, metric,
-                                    table[cls])
+                                    min_ov, compute_aos=want_aos)
+                    if want_aos:
+                        ap, aos = ap
+                        results[f'{cls}_aos_{diff_name}_{tag}'] = aos
                     results[f'{cls}_{metric}_{diff_name}_{tag}'] = ap
     return results

@@ -133,28 +133,154 @@ def test_results_roundtrip():
     np.testing.assert_allclose(ry2, ry, atol=1e-5)
 
 
-def _mk_anno(locs, dims, rys, names, scores=None, bbox_h=50.0):
+def _mk_anno(locs, dims, rys, names, scores=None, bbox_h=50.0,
+             alphas=None, bboxes=None):
     n = len(names)
-    bbox = np.zeros((n, 4))
-    bbox[:, 2] = 100
-    bbox[:, 3] = bbox_h
+    if bboxes is None:
+        bbox = np.zeros((n, 4))
+        # spread boxes horizontally so they don't overlap each other
+        bbox[:, 0] = np.arange(n) * 120.0
+        bbox[:, 2] = bbox[:, 0] + 100
+        bbox[:, 3] = bbox_h
+    else:
+        bbox = np.asarray(bboxes, np.float64)
     out = dict(name=np.array(names), truncated=np.zeros(n),
                occluded=np.zeros(n, np.int64),
                bbox=bbox, dimensions=np.asarray(dims, np.float64),
                location=np.asarray(locs, np.float64),
-               rotation_y=np.asarray(rys, np.float64))
+               rotation_y=np.asarray(rys, np.float64),
+               alpha=(np.asarray(alphas, np.float64) if alphas is not None
+                      else np.asarray(rys, np.float64)))
     if scores is not None:
         out['score'] = np.asarray(scores, np.float64)
     return out
 
 
+def _mk_perfect(n, cls='Car', scores=None):
+    """n well-separated GT boxes + identical detections."""
+    locs = [[i * 10.0, 1, 10] for i in range(n)]
+    dims = [[3.9, 1.5, 1.6]] * n
+    rys = [0.1] * n
+    gt = _mk_anno(locs, dims, rys, [cls] * n)
+    dt = _mk_anno(locs, dims, rys, [cls] * n,
+                  scores=(scores if scores is not None
+                          else np.linspace(0.9, 0.5, n)))
+    return gt, dt
+
+
 def test_eval_perfect_detection():
-    gt = [_mk_anno([[0, 1, 10]], [[3.9, 1.5, 1.6]], [0.1], ['Car'])]
-    dt = [_mk_anno([[0, 1, 10]], [[3.9, 1.5, 1.6]], [0.1], ['Car'],
-                   scores=[0.9])]
-    ap = eval_class(gt, dt, 'Car', difficulty=1, metric='3d',
+    """Many perfectly-detected GT: R40 AP approaches 100 (39/40 grid
+    points reachable with 40 GT -> 97.5)."""
+    gt, dt = _mk_perfect(40)
+    ap = eval_class([gt], [dt], 'Car', difficulty=1, metric='3d',
                     min_overlap=0.7)
-    assert ap > 99.0
+    assert ap == pytest.approx(97.5, abs=0.01)
+
+
+def test_eval_ap40_zero_pads_unreached_recall():
+    """ADVICE r1 (high): 2 GT + 1 TP must yield ~0 AP (upstream
+    get_mAP40 divides by the fixed 40 sample points; only recall grid
+    index 0 is reached), NOT 100."""
+    gt, dt = _mk_perfect(2)
+    dt1 = {k: v[:1] for k, v in dt.items()}
+    ap = eval_class([gt], [dt1], 'Car', difficulty=1, metric='3d',
+                    min_overlap=0.7)
+    assert ap == 0.0
+
+
+def test_eval_half_recall():
+    """40 GT, 20 detected perfectly: precision 1 up to recall 0.5 ->
+    AP ~ 19/40 (upstream zero-padded R40 semantics)."""
+    gt, dt = _mk_perfect(40)
+    dt20 = {k: v[:20] for k, v in dt.items()}
+    ap = eval_class([gt], [dt20], 'Car', difficulty=1, metric='3d',
+                    min_overlap=0.7)
+    assert ap == pytest.approx(100 * 19 / 40, abs=0.01)
+
+
+def test_eval_dontcare_discounts_bbox_fp_only():
+    """A detection inside a DontCare region is discounted for the bbox
+    metric (IoF criterion) but counts as a normal FP for 3d."""
+    gt, dt = _mk_perfect(40)
+    # extra detection: high score, far from every GT, 2D bbox inside a
+    # DontCare region
+    dc_bbox = [5000.0, 0.0, 5100.0, 50.0]
+    gt_dc = dict(gt)
+    gt_dc['name'] = np.append(gt['name'], 'DontCare')
+    gt_dc['truncated'] = np.append(gt['truncated'], -1.0)
+    gt_dc['occluded'] = np.append(gt['occluded'], -1)
+    gt_dc['alpha'] = np.append(gt['alpha'], -10.0)
+    gt_dc['bbox'] = np.concatenate([gt['bbox'], [dc_bbox]])
+    gt_dc['dimensions'] = np.concatenate([gt['dimensions'], [[-1., -1, -1]]])
+    gt_dc['location'] = np.concatenate([gt['location'], [[-1000., -1, -1]]])
+    gt_dc['rotation_y'] = np.append(gt['rotation_y'], -10.0)
+
+    dt_fp = {k: np.concatenate([v, [v[0]]]) for k, v in dt.items()}
+    dt_fp['score'][-1] = 0.95  # highest score -> depresses all points
+    dt_fp['bbox'][-1] = [5010.0, 5.0, 5090.0, 45.0]  # inside DontCare
+    dt_fp['location'][-1] = [500.0, 1, 10]           # matches no GT
+
+    ap_bbox = eval_class([gt_dc], [dt_fp], 'Car', 1, 'bbox', 0.7)
+    ap_3d = eval_class([gt_dc], [dt_fp], 'Car', 1, '3d', 0.7)
+    ap_bbox_clean = eval_class([gt], [dt], 'Car', 1, 'bbox', 0.7)
+    assert ap_bbox == pytest.approx(ap_bbox_clean, abs=0.01)  # discounted
+    assert ap_3d < ap_bbox - 1.0                              # real FP
+
+
+def test_eval_van_is_ignored_for_car():
+    """A Van GT is ignore-class for Car eval: missing it is not a FN,
+    and detecting it is neither TP nor FP."""
+    gt, dt = _mk_perfect(40)
+    gt_van = dict(gt)
+    gt_van['name'] = np.append(gt['name'], 'Van')
+    for k in ('truncated',):
+        gt_van[k] = np.append(gt[k], 0.0)
+    gt_van['occluded'] = np.append(gt['occluded'], 0)
+    gt_van['alpha'] = np.append(gt['alpha'], 0.1)
+    gt_van['bbox'] = np.concatenate([gt['bbox'], [[6000., 0, 6100, 50]]])
+    gt_van['dimensions'] = np.concatenate([gt['dimensions'],
+                                           [[3.9, 1.5, 1.6]]])
+    gt_van['location'] = np.concatenate([gt['location'], [[600., 1, 10]]])
+    gt_van['rotation_y'] = np.append(gt['rotation_y'], 0.1)
+
+    ap_missed = eval_class([gt_van], [dt], 'Car', 1, '3d', 0.7)
+    ap_base = eval_class([gt], [dt], 'Car', 1, '3d', 0.7)
+    assert ap_missed == pytest.approx(ap_base, abs=0.01)
+
+    # now detect the Van too (as a Car): should be absorbed, not FP
+    dt_van = {k: np.concatenate([dt[k], [gt_van[k][-1]]])
+              for k in ('bbox', 'dimensions', 'location', 'rotation_y',
+                        'alpha')}
+    dt_van['name'] = np.append(dt['name'], 'Car')
+    dt_van['truncated'] = np.append(dt['truncated'], 0.0)
+    dt_van['occluded'] = np.append(dt['occluded'], 0)
+    dt_van['score'] = np.append(dt['score'], 0.95)
+    ap_det = eval_class([gt_van], [dt_van], 'Car', 1, '3d', 0.7)
+    assert ap_det == pytest.approx(ap_base, abs=0.01)
+
+
+def test_eval_aos():
+    """Perfect alphas -> AOS == bbox AP; alphas off by pi -> AOS ~ 0."""
+    gt, dt = _mk_perfect(40)
+    ap, aos = eval_class([gt], [dt], 'Car', 1, 'bbox', 0.7,
+                         compute_aos=True)
+    assert aos == pytest.approx(ap, abs=0.01)
+    dt_flip = dict(dt)
+    dt_flip['alpha'] = dt['alpha'] + np.pi
+    ap2, aos2 = eval_class([gt], [dt_flip], 'Car', 1, 'bbox', 0.7,
+                           compute_aos=True)
+    assert ap2 == pytest.approx(ap, abs=0.01)
+    assert aos2 < 1.0
+
+
+def test_kitti_eval_loose_bbox_threshold_stays_strict():
+    """The loose (0.5) setting does NOT relax the 2D bbox threshold
+    (reference overlap_0_5 keeps row 0 at 0.7/0.5/0.5)."""
+    from dfm_tpu.evaluation.kitti_eval import MIN_OVERLAPS
+    assert MIN_OVERLAPS['loose']['bbox']['Car'] == 0.7
+    assert MIN_OVERLAPS['loose']['3d']['Car'] == 0.5
+    assert MIN_OVERLAPS['loose']['bev']['Pedestrian'] == 0.25
+    assert MIN_OVERLAPS['strict']['3d']['Car'] == 0.7
 
 
 def test_eval_missed_detection():

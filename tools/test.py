@@ -85,15 +85,20 @@ def main():
         dt_annos.append(detections_to_kitti_annos(
             det0, np.asarray(info['calib']['P2'])[:3],
             info.get('image', {}).get('image_shape', (375, 1242))))
-        a = info['annos']
-        pl = a['gt_boxes_pl']
-        gt_annos.append(dict(
-            name=np.asarray(a['names']),
-            truncated=a['truncated'], occluded=a['occluded'],
-            bbox=a['bbox2d'],
-            dimensions=np.stack([pl[:, 3], pl[:, 5], pl[:, 4]], 1),
-            location=np.stack([-pl[:, 1], -pl[:, 2], pl[:, 0]], 1),
-            rotation_y=-pl[:, 6] - np.pi / 2))
+        if 'annos_eval' in info:
+            # full-protocol eval annos: original names (Van, DontCare,
+            # ...) so clean_data applies the official ignore rules
+            gt_annos.append(dict(info['annos_eval']))
+        else:  # legacy infos without the eval view
+            a = info['annos']
+            pl = a['gt_boxes_pl']
+            gt_annos.append(dict(
+                name=np.asarray(a['names']),
+                truncated=a['truncated'], occluded=a['occluded'],
+                bbox=a['bbox2d'],
+                dimensions=np.stack([pl[:, 3], pl[:, 5], pl[:, 4]], 1),
+                location=np.stack([-pl[:, 1], -pl[:, 2], pl[:, 0]], 1),
+                rotation_y=-pl[:, 6] - np.pi / 2))
         print(f'[{i + 1}/{n}] dets={len(dt_annos[-1]["name"])}',
               flush=True)
 
