@@ -16,10 +16,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.frustum import (build_packed_fine_softmax,
+from ...ops.frustum import (build_base27_tables,
                             project_voxels_to_frustum,
-                            sample_fine_softmax_packed,
                             sample_sem_features_packed,
+                            sample_softmax_base27_hat,
                             sample_stereo_volume_packed)
 from ...ops.packed_sample import pack_taps_2d, pack_taps_3d
 from ..layers import ConvNorm
@@ -59,11 +59,14 @@ class FrustumToVoxel(nn.Module):
                 self.depth_min, self.depth_max)
             pred_disp = None
             if use_atten:
-                packed_fine = build_packed_fine_softmax(
+                # base27 hat-weight path: 2 small-table gathers/query,
+                # never materializes the x4-upsampled softmax volume
+                # (92 -> 35 ms at DfM shapes; see ops/frustum.py)
+                b27, lse4 = build_base27_tables(
                     jax.lax.stop_gradient(cost_i), self.up_factor,
-                    pad_shape, dtype=jnp.bfloat16)
-                pred_disp = sample_fine_softmax_packed(
-                    packed_fine, coord_img, pad_shape,
+                    pad_shape, dtype=jnp.bfloat16, pad_lanes=64)
+                pred_disp = sample_softmax_base27_hat(
+                    b27, lse4, coord_img, pad_shape,
                     self.depth_min, self.depth_max, self.up_factor)
                 pred_disp = pred_disp[..., None].astype(voxel.dtype)
             if self.stereo_atten_feat:

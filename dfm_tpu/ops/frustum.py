@@ -280,20 +280,21 @@ def sample_sem_features_packed(packed_sem, c, coord_img, pad_shape, valid2d):
     return out * valid2d[..., None].astype(out.dtype)
 
 
-def build_base27_tables(cost, up_factor, pad_shape, dtype=jnp.float32):
-    """Tables for `sample_softmax_base27`: the 3^3-corner-packed BASE
-    cost volume (D, H, W, 27) and the 4-tap-packed fine lse map
-    (H_f, W_f, 4).
+def build_base27_tables(cost, up_factor, pad_shape, dtype=jnp.float32,
+                        pad_lanes=None):
+    """Tables for the base27 samplers: the 3^3-corner-packed BASE cost
+    volume (D, H, W, 27 [padded to `pad_lanes`]) and the 4-tap-packed
+    fine lse map (H_f, W_f, 4).
 
     All 8 fine interpolation taps of one voxel query read base corners
     within a 3x3x3 neighborhood (fine spacing = ~1/4 base cell), so ONE
     row of the 27-packed table serves a whole query; the fine volume is
     never built.
 
-    PERF WARNING (measured): the per-corner `take_along_axis` over the
-    27-lane axis lowers catastrophically on TPU (2.3 s vs 92 ms for the
-    fine-packed path) — kept as the memory-minimal exact formulation and
-    as a Pallas-kernel blueprint, NOT used on the hot path.
+    MEASURED v5e gather regimes (ns/row, 1.75M random rows): rows of
+    <=16 BYTES ~4.3; rows of >=64 LANES ~11; anything between is 2-4x
+    slower (27-lane bf16: 24.5, 32-lane f32: 37.5). Hence the hot path
+    pads base27 to 64 bf16 lanes and keeps lse4 at 4 f32 lanes.
     """
     from .packed_sample import _shift_minus1
     lse = depth_softmax_lse_map(cost, up_factor, pad_shape)
@@ -316,7 +317,111 @@ def build_base27_tables(cost, up_factor, pad_shape, dtype=jnp.float32):
             sy = _shift_minus1(sy, 1)
         sz = _shift_minus1(sz, 0)
     base27 = jnp.stack(outs, axis=-1)   # (D, H, W, 27)
-    return base27, lse4
+    if pad_lanes is not None and pad_lanes > 27:
+        base27 = jnp.pad(base27, [(0, 0)] * 3 + [(0, pad_lanes - 27)])
+    # barrier: stop XLA fusing the 27-shift construction into the
+    # consuming gather (it would recompute the packing per row: +27 ms)
+    return jax.lax.optimization_barrier((base27, lse4))
+
+
+def sample_softmax_base27_hat(base27, lse4, coord_img, pad_shape,
+                              depth_min, depth_max, up_factor=4):
+    """Exact softmax(upsample(cost)) sampling — hat-weight formulation.
+
+    Same math as `sample_softmax_base27` (2 gathers per query from the
+    SMALL base27/lse4 tables) but the per-corner dynamic lane indexing
+    (take_along_axis, which XLA lowers catastrophically on TPU: 2.3 s)
+    is replaced by hat-function weights: linear interpolation over the
+    3-node-per-axis neighborhood is exactly
+
+        F(tap) = sum_{a,b,c in 0..2} hat(pz-a) hat(py-b) hat(px-c)
+                                     * rows27[a*9 + b*3 + c],
+        hat(t) = max(0, 1 - |t|),
+
+    because every tap's base coordinate stays within [node0, node2]
+    (fine spacing = base/up_factor <= 1). Pure vectorized VPU math.
+
+    This is the hot attention-sampler path: the tables total ~100 MB
+    (vs the 950 MB packed fine volume), so the gathers run at the
+    small-table rate, and no fine softmax volume is ever materialized.
+    """
+    d, h, w = base27.shape[:3]
+    h_f, w_f = lse4.shape[:2]
+    d_f = d * up_factor
+    pad_h, pad_w = pad_shape
+    u, v, dep = coord_img[..., 0], coord_img[..., 1], coord_img[..., 2]
+    x_f = u / (pad_w - 1) * (w_f - 1)
+    y_f = v / (pad_h - 1) * (h_f - 1)
+    z_f = (dep - depth_min) / (depth_max - depth_min) * (d_f - 1)
+    valid = ((u >= 0) & (u <= pad_w) & (v >= 0) & (v <= pad_h) &
+             (dep >= depth_min) & (dep <= depth_max))
+
+    x0 = jnp.floor(x_f)
+    y0 = jnp.floor(y_f)
+    z0 = jnp.floor(z_f)
+    fx, fy, fz = x_f - x0, y_f - y0, z_f - z0
+    xi0 = jnp.clip(x0, 0, w_f - 1).astype(jnp.int32)
+    yi0 = jnp.clip(y0, 0, h_f - 1).astype(jnp.int32)
+    zi0 = jnp.clip(z0, 0, d_f - 1).astype(jnp.int32)
+
+    sx = (w - 1) / (w_f - 1)
+    sy = (h - 1) / (h_f - 1)
+    sz = (d - 1) / (d_f - 1)
+
+    bx0 = jnp.floor(xi0.astype(jnp.float32) * sx)
+    by0 = jnp.floor(yi0.astype(jnp.float32) * sy)
+    bz0 = jnp.floor(zi0.astype(jnp.float32) * sz)
+    rows27 = jnp.take(
+        base27.reshape(d * h * w, base27.shape[-1]),
+        (bz0.astype(jnp.int32) * h + by0.astype(jnp.int32)) * w +
+        bx0.astype(jnp.int32), axis=0).astype(jnp.float32)   # (..., 27)
+    lrows = jnp.take(
+        lse4.reshape(h_f * w_f, 4),
+        yi0 * w_f + xi0, axis=0).astype(jnp.float32)          # (..., 4)
+
+    def hat3(p):
+        """(...,) -> (..., 3) hat weights at nodes 0, 1, 2."""
+        n = jnp.arange(3, dtype=p.dtype)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(p[..., None] - n))
+
+    def axis_w(i_fine, scale, b0):
+        """3-node weights of one tap's base coordinate along one axis."""
+        return hat3(i_fine.astype(jnp.float32) * scale - b0)
+
+    # per-axis fine tap indices (0/+1, clipped as the fine grid does)
+    xt = [jnp.clip(x0, 0, w_f - 1), jnp.clip(x0 + 1, 0, w_f - 1)]
+    yt = [jnp.clip(y0, 0, h_f - 1), jnp.clip(y0 + 1, 0, h_f - 1)]
+    zt = [jnp.clip(z0, 0, d_f - 1), jnp.clip(z0 + 1, 0, d_f - 1)]
+    wx3 = [axis_w(t, sx, bx0) for t in xt]   # each (..., 3)
+    wy3 = [axis_w(t, sy, by0) for t in yt]
+    wz3 = [axis_w(t, sz, bz0) for t in zt]
+
+    vz = [(z0 >= 0) & (z0 <= d_f - 1), (z0 + 1 >= 0) & (z0 + 1 <= d_f - 1)]
+    vy = [(y0 >= 0) & (y0 <= h_f - 1), (y0 + 1 >= 0) & (y0 + 1 <= h_f - 1)]
+    vx = [(x0 >= 0) & (x0 <= w_f - 1), (x0 + 1 >= 0) & (x0 + 1 <= w_f - 1)]
+    wz_f = [1 - fz, fz]
+    wy_f = [1 - fy, fy]
+    wx_f = [1 - fx, fx]
+
+    # separable contraction over the 3x3x3 lanes (x, then y, then z):
+    # 114 FMA/query instead of 8 taps x (27 build + 27 mult + reduce)
+    r3 = rows27[..., :27].reshape(rows27.shape[:-1] + (3, 3, 3))  # (z,y,x)
+    tx = [jnp.sum(r3 * wx3[dx][..., None, None, :], axis=-1)
+          for dx in (0, 1)]                                  # (..., 3z, 3y)
+    out = 0.
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                ty = jnp.sum(tx[dx] * wy3[dy][..., None, :], axis=-1)
+                f_val = jnp.sum(ty * wz3[dz], axis=-1)
+                lse = lrows[..., dy * 2 + dx]
+                # clamp: an invalid tap can read a zero-filled lse and
+                # overflow exp; the weight masks it, but inf * 0 = nan
+                prob = jnp.exp(jnp.minimum(f_val - lse, 60.0))
+                wt = (wx_f[dx] * wy_f[dy] * wz_f[dz] *
+                      (vx[dx] & vy[dy] & vz[dz]))
+                out = out + wt * prob
+    return jnp.where(valid, out, 0.0)
 
 
 def sample_softmax_base27(base27, lse4, coord_img, pad_shape, depth_min,

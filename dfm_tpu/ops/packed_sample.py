@@ -18,10 +18,17 @@ call sites (cost volume, frustum lifting); a Pallas kernel can still
 fuse the coordinate math later, but packing alone recovers ~5-10x.
 """
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ['pack_taps_2d', 'packed_bilinear_sample', 'pack_taps_3d',
            'packed_trilinear_sample']
+
+# NOTE on optimization_barrier: without it XLA fuses the shift/stack
+# table construction INTO the consuming gather, recomputing the packing
+# per gathered row (measured: +27 ms on the DfM attention sample, 1.7x
+# on the stereo sample). The barrier forces the packed table to be
+# materialized once in HBM.
 
 
 def _shift_minus1(x, axis):
@@ -44,12 +51,20 @@ def pack_taps_2d(feat):
     """(H, W, C) -> (H+1, W+1, 4C):
     row (i, j) holds [f(i-1, j-1), f(i-1, j), f(i, j-1), f(i, j)]
     (i.e. taps (v0, u0), (v0, u0+1), (v0+1, u0), (v0+1, u0+1) for
-    floor indices addressed at (v0+1, u0+1))."""
-    feat = _lead_pad(feat, (0, 1))
-    fu = _shift_minus1(feat, 1)
-    fv = _shift_minus1(feat, 0)
-    fvu = _shift_minus1(fv, 1)
-    return jnp.concatenate([feat, fu, fv, fvu], axis=-1)
+    floor indices addressed at (v0+1, u0+1)).
+
+    Built as ONE symmetric pad + 4 window slices (not chained
+    pad/shift ops, which materialize each intermediate)."""
+    h, w, c = feat.shape
+    padded = jnp.pad(feat, ((1, 1), (1, 1), (0, 0)))
+    taps = [padded[dv:dv + h + 1, du:du + w + 1]
+            for dv in (0, 1) for du in (0, 1)]
+    # materialize FLAT (rows, lanes): the consuming gather indexes the
+    # flattened table, and flattening a (H+1, W+1, 4C) buffer after the
+    # fact is a relayout copy (the sublane dim is tile-padded)
+    flat = jnp.concatenate(taps, axis=-1).reshape(-1, 4 * c)
+    flat = jax.lax.optimization_barrier(flat)
+    return flat.reshape(h + 1, w + 1, 4 * c)
 
 
 def packed_bilinear_sample(packed, coords, c):
@@ -78,28 +93,60 @@ def packed_bilinear_sample(packed, coords, c):
     xi = jnp.clip(x0 + 1, 0, wp - 1).astype(jnp.int32)
     yi = jnp.clip(y0 + 1, 0, hp - 1).astype(jnp.int32)
     rows = jnp.take(packed.reshape(hp * wp, -1), yi * wp + xi, axis=0)
-    f00, f01, f10, f11 = (rows[..., :c], rows[..., c:2 * c],
-                          rows[..., 2 * c:3 * c], rows[..., 3 * c:])
-    dt = packed.dtype
-    w00 = ((1 - fx) * (1 - fy)) * (vx0 & vy0)[..., None].astype(dt)
-    w01 = (fx * (1 - fy)) * (vx1 & vy0)[..., None].astype(dt)
-    w10 = ((1 - fx) * fy) * (vx0 & vy1)[..., None].astype(dt)
-    w11 = (fx * fy) * (vx1 & vy1)[..., None].astype(dt)
-    return f00 * w00 + f01 * w01 + f10 * w10 + f11 * w11
+    fx, fy = fx[..., 0], fy[..., 0]
+    weights = [((1 - fx) * (1 - fy)) * (vx0 & vy0).astype(fx.dtype),
+               (fx * (1 - fy)) * (vx1 & vy0).astype(fx.dtype),
+               ((1 - fx) * fy) * (vx0 & vy1).astype(fx.dtype),
+               (fx * fy) * (vx1 & vy1).astype(fx.dtype)]
+    return _combine_taps(rows, weights, 4, c)
 
 
 def pack_taps_3d(vol):
     """(D, H, W, C) -> (D+1, H+1, W+1, 8C), taps ordered
     (dz, dy, dx) in {0,1}^3 row-major, addressed at floor+1."""
-    vol = _lead_pad(vol, (0, 1, 2))
-    out = []
-    for dz in (0, 1):
-        vz = vol if dz == 0 else _shift_minus1(vol, 0)
-        for dy in (0, 1):
-            vy = vz if dy == 0 else _shift_minus1(vz, 1)
-            for dx in (0, 1):
-                out.append(vy if dx == 0 else _shift_minus1(vy, 2))
-    return jnp.concatenate(out, axis=-1)
+    d, h, w, c = vol.shape
+    padded = jnp.pad(vol, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    taps = [padded[dz:dz + d + 1, dy:dy + h + 1, dx:dx + w + 1]
+            for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    flat = jnp.concatenate(taps, axis=-1).reshape(-1, 8 * c)
+    flat = jax.lax.optimization_barrier(flat)
+    return flat.reshape(d + 1, h + 1, w + 1, 8 * c)
+
+
+def _tap_selector(num_taps, c, dtype):
+    """(num_taps*c, num_taps*c) block-diagonal 0/1 matrix mapping packed
+    lanes to a (num_taps, c) layout via one MXU matmul."""
+    import numpy as np
+    s = np.zeros((num_taps * c, num_taps * c), np.float32)
+    for t in range(num_taps):
+        s[t * c:(t + 1) * c, t * c:(t + 1) * c] = np.eye(c)
+    return jnp.asarray(s).astype(dtype)
+
+
+def _combine_taps(rows, weights, num_taps, c):
+    """Weighted tap combine of gathered packed rows.
+
+    rows: (..., num_taps*c); weights: list of num_taps (...)-shaped f32.
+
+    For bf16 rows the per-tap lane slices (offsets c, 2c, ... are not
+    128-aligned) are replaced by ONE matmul against a block-diagonal 0/1
+    selector — exact for bf16 values and ~2x faster on TPU (measured:
+    the slice form costs +13 ms at DfM shapes). f32 rows keep the exact
+    slice form (the MXU would round f32 operands to bf16).
+    """
+    if rows.dtype == jnp.bfloat16:
+        sh = rows.shape[:-1]
+        sel = jnp.dot(rows.reshape(-1, num_taps * c),
+                      _tap_selector(num_taps, c, rows.dtype),
+                      preferred_element_type=jnp.float32)
+        sel = sel.reshape(-1, num_taps, c)
+        wt = jnp.stack([w.reshape(-1) for w in weights], axis=-1)  # (N, T)
+        return jnp.einsum('nt,ntc->nc', wt, sel).reshape(sh + (c,))
+    out = 0.
+    for t in range(num_taps):
+        out = out + rows[..., t * c:(t + 1) * c] * \
+            weights[t][..., None].astype(rows.dtype)
+    return out
 
 
 def packed_trilinear_sample(packed, coords, c):
@@ -116,27 +163,20 @@ def packed_trilinear_sample(packed, coords, c):
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     z0 = jnp.floor(z)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    fz = (z - z0)[..., None]
+    fx, fy, fz = x - x0, y - y0, z - z0
     xi = jnp.clip(x0 + 1, 0, wp - 1).astype(jnp.int32)
     yi = jnp.clip(y0 + 1, 0, hp - 1).astype(jnp.int32)
     zi = jnp.clip(z0 + 1, 0, dp - 1).astype(jnp.int32)
     rows = jnp.take(packed.reshape(dp * hp * wp, -1),
                     (zi * hp + yi) * wp + xi, axis=0)
-    dt = packed.dtype
 
-    out = 0.
-    tap = 0
+    weights = []
     for dz, wz, vz in ((0, 1 - fz, (z0 >= 0) & (z0 <= d - 1)),
                        (1, fz, (z0 + 1 >= 0) & (z0 + 1 <= d - 1))):
         for dy, wy, vy in ((0, 1 - fy, (y0 >= 0) & (y0 <= h - 1)),
                            (1, fy, (y0 + 1 >= 0) & (y0 + 1 <= h - 1))):
             for dx, wx, vx in ((0, 1 - fx, (x0 >= 0) & (x0 <= w - 1)),
                                (1, fx, (x0 + 1 >= 0) & (x0 + 1 <= w - 1))):
-                val = rows[..., tap * c:(tap + 1) * c]
-                wt = (wx * wy * wz) * \
-                    (vx & vy & vz)[..., None].astype(dt)
-                out = out + val * wt
-                tap += 1
-    return out
+                weights.append((wx * wy * wz) *
+                               (vx & vy & vz).astype(wx.dtype))
+    return _combine_taps(rows, weights, 8, c)

@@ -295,3 +295,61 @@ def test_base27_softmax_matches_lse_formulation():
     tref = F.grid_sample(sm, tgrid, align_corners=True)[
         0, 0, :, 0, 0].numpy()
     np.testing.assert_allclose(out, tref, atol=1e-5)
+
+
+def test_base27_hat_matches_base27():
+    """The hat-weight formulation (no take_along_axis) must equal the
+    select-based base27 sampler and the explicit lse path exactly."""
+    from dfm_tpu.ops.frustum import (build_base27_tables,
+                                     sample_softmax_base27,
+                                     sample_softmax_base27_hat)
+    d, h, w = 6, 8, 10
+    up = 4
+    pad_shape = (h * up, w * up)
+    cost = jnp.asarray(_rand(d, h, w, seed=21))
+    rng = np.random.RandomState(22)
+    # include out-of-range queries to exercise the validity masking
+    q = jnp.asarray(np.stack([
+        rng.uniform(-5, pad_shape[1] + 5, 500),
+        rng.uniform(-5, pad_shape[0] + 5, 500),
+        rng.uniform(0.0, 70.0, 500)], -1).astype(np.float32))
+    b27, lse4 = build_base27_tables(cost, up, pad_shape)
+    ref = np.asarray(sample_softmax_base27(
+        b27, lse4, q, pad_shape, 2.0, 59.6, up))
+    out = np.asarray(sample_softmax_base27_hat(
+        b27, lse4, q, pad_shape, 2.0, 59.6, up))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # and vs the packed-fine hot path (previous production formulation)
+    packed = frustum.build_packed_fine_softmax(
+        cost, up, pad_shape, dtype=jnp.float32)
+    ref2 = np.asarray(frustum.sample_fine_softmax_packed(
+        packed, q, pad_shape, 2.0, 59.6, up))
+    np.testing.assert_allclose(out, ref2, atol=1e-5)
+
+
+def test_packed_samplers_bf16_selector_path():
+    """bf16 tables take the block-diagonal selector-matmul combine;
+    must match the f32 slice path within bf16 tolerance."""
+    from dfm_tpu.ops import packed_sample as PS
+    rng = np.random.RandomState(30)
+    vol = rng.randn(6, 7, 8, 32).astype(np.float32)
+    c3 = jnp.asarray(np.stack([rng.uniform(-1, 8, 300),
+                               rng.uniform(-1, 7, 300),
+                               rng.uniform(-1, 6, 300)], -1)
+                     .astype(np.float32))
+    ref = np.asarray(PS.packed_trilinear_sample(
+        PS.pack_taps_3d(jnp.asarray(vol)), c3, 32))
+    out = np.asarray(PS.packed_trilinear_sample(
+        PS.pack_taps_3d(jnp.asarray(vol).astype(jnp.bfloat16)), c3, 32))
+    np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+    feat = rng.randn(9, 11, 32).astype(np.float32)
+    c2 = jnp.asarray(np.stack([rng.uniform(-1, 11, 300),
+                               rng.uniform(-1, 9, 300)], -1)
+                     .astype(np.float32))
+    ref2 = np.asarray(PS.packed_bilinear_sample(
+        PS.pack_taps_2d(jnp.asarray(feat)), c2, 32))
+    out2 = np.asarray(PS.packed_bilinear_sample(
+        PS.pack_taps_2d(jnp.asarray(feat).astype(jnp.bfloat16)), c2, 32))
+    np.testing.assert_allclose(out2, ref2, atol=0.05, rtol=0.05)
