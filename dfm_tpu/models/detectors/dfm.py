@@ -213,7 +213,9 @@ class DfM(nn.Module):
             out_channels=cfg.cv_channels, depth_min=cfg.depth_min,
             depth_max=cfg.depth_max, up_factor=cfg.depth_downsample,
             norm='gn', dtype=self.dtype, name='feature_transformation')
-        coors_3d = jnp.asarray(cfg.coordinates_3d())
+        # kept as a static np array: FrustumToVoxel's separable fast
+        # path derives the per-x-slab depth grouping at trace time
+        coors_3d = cfg.coordinates_3d()
         volume_feat = frustum(stereo_feats, depth_cost, cur_sem, coors_3d,
                               meta.cam2img, pad_shape, train)
 

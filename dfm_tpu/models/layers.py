@@ -25,13 +25,14 @@ Dtype = Any
 
 
 class Conv3DSum(nn.Module):
-    """3x3x3 (or kxkxk) Conv3D decomposed as a sum of k 2D convs over
-    z-shifted slices, with D folded into the batch dim.
+    """kxkxk Conv3D with a dtype-dependent lowering.
 
-    XLA lowers narrow-channel Conv3D on TPU ~1.7x slower than this
-    formulation (measured 14.7 -> 8.5 ms for a 3^3 C32 conv at DfM
-    shapes). Parameter layout matches nn.Conv ('kernel' (kz,ky,kx,I,O))
-    so checkpoints are interchangeable.
+    Measured on v5e at DfM cost-volume shapes (72x80x320, C32 3^3):
+    f32 direct Conv3D lowers ~1.7x slower than a sum of k z-shifted 2D
+    convs (14.7 vs 8.5 ms), but in bf16 the direct lowering wins
+    (5.8 vs 8.2 ms, tools/convbench.py). Parameter layout matches
+    nn.Conv ('kernel' (kz,ky,kx,I,O)) so checkpoints are
+    interchangeable between both lowerings.
     """
     features: int
     kernel_size: Tuple[int, int, int] = (3, 3, 3)
@@ -49,23 +50,30 @@ class Conv3DSum(nn.Module):
             'kernel', nn.initializers.lecun_normal(),
             (kz, ky, kx, cin, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
-        pz = kz // 2
-        xp = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
-        d_out = (d + 2 * pz - kz) // sz + 1
-        out = None
-        for dz in range(kz):
-            sl = xp[:, dz:dz + (d_out - 1) * sz + 1:sz]   # (B, Dout,H,W,C)
-            flat = sl.reshape(b * d_out, h, w, cin)
-            o = jax.lax.conv_general_dilated(
-                flat, kernel[dz], (sy, sx),
-                [(ky // 2, ky // 2), (kx // 2, kx // 2)],
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                preferred_element_type=jnp.float32)
-            out = o if out is None else out + o
-        out = out.astype(self.dtype)
-        h_out = (h + 2 * (ky // 2) - ky) // sy + 1
-        w_out = (w + 2 * (kx // 2) - kx) // sx + 1
-        out = out.reshape(b, d_out, h_out, w_out, self.features)
+        if self.dtype == jnp.bfloat16:
+            out = jax.lax.conv_general_dilated(
+                x, kernel, (sz, sy, sx),
+                [(kz // 2, kz // 2), (ky // 2, ky // 2), (kx // 2, kx // 2)],
+                dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+                preferred_element_type=jnp.float32).astype(self.dtype)
+        else:
+            pz = kz // 2
+            xp = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
+            d_out = (d + 2 * pz - kz) // sz + 1
+            out = None
+            for dz in range(kz):
+                sl = xp[:, dz:dz + (d_out - 1) * sz + 1:sz]  # (B,Dout,H,W,C)
+                flat = sl.reshape(b * d_out, h, w, cin)
+                o = jax.lax.conv_general_dilated(
+                    flat, kernel[dz], (sy, sx),
+                    [(ky // 2, ky // 2), (kx // 2, kx // 2)],
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    preferred_element_type=jnp.float32)
+                out = o if out is None else out + o
+            out = out.astype(self.dtype)
+            h_out = (h + 2 * (ky // 2) - ky) // sy + 1
+            w_out = (w + 2 * (kx // 2) - kx) // sx + 1
+            out = out.reshape(b, d_out, h_out, w_out, self.features)
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros,
                               (self.features,), jnp.float32)

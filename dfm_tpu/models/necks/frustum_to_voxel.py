@@ -16,11 +16,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ...ops.frustum import (build_base27_tables,
                             project_voxels_to_frustum,
                             sample_sem_features_packed,
                             sample_softmax_base27_hat,
                             sample_stereo_volume_packed)
+from ...ops import frustum_separable as FS
 from ...ops.packed_sample import pack_taps_2d, pack_taps_3d
 from ..layers import ConvNorm
 
@@ -37,6 +40,11 @@ class FrustumToVoxel(nn.Module):
     pool_z: int = 4
     norm: str = 'gn'
     dtype: Any = jnp.float32
+    # per-x-slab matmul sampling (requires KITTI P-form cam2img and a
+    # STATIC np coors_3d; ~10x faster than the gather path on TPU —
+    # see ops/frustum_separable.py). Automatically falls back to the
+    # generic gather path when coors_3d is traced.
+    separable: bool = True
 
     @nn.compact
     def __call__(self,
@@ -50,8 +58,40 @@ class FrustumToVoxel(nn.Module):
         """Returns volume features (B, Nz/pool_z, Ny, Nx, C_out)."""
         use_atten = self.stereo_atten_feat or (self.sem_atten_feat and
                                                self.cat_img_feature)
+        separable = self.separable and isinstance(coors_3d, np.ndarray)
+
+        def single_separable(vol_i, cost_i, sem_i, c2i):
+            xs = np.ascontiguousarray(coors_3d[0, 0, :, 0])
+            ys = np.ascontiguousarray(coors_3d[0, :, 0, 1])
+            zs = np.ascontiguousarray(coors_3d[:, 0, 0, 2])
+            u, v = FS.slab_uv(c2i, xs, ys, zs)
+            ds = FS.slab_depth_static(xs, self.depth_min, self.depth_max,
+                                      vol_i.shape[0])
+            voxel, valid2d = FS.separable_stereo_sample(
+                vol_i, u, v, ds, pad_shape)
+            pred_disp = None
+            if use_atten:
+                sm = FS.build_fine_softmax_volume(
+                    jax.lax.stop_gradient(cost_i), self.up_factor,
+                    pad_shape, dtype=jnp.bfloat16)
+                dsf = FS.slab_depth_static(
+                    xs, self.depth_min, self.depth_max,
+                    cost_i.shape[0] * self.up_factor)
+                pred_disp = FS.separable_softmax_attention(
+                    sm, u, v, dsf, pad_shape)[..., None].astype(voxel.dtype)
+            if self.stereo_atten_feat:
+                voxel = voxel * pred_disp
+            if self.cat_img_feature and sem_i is not None:
+                voxel2d = FS.separable_sem_sample(
+                    sem_i, u, v, pad_shape, valid2d)
+                if self.sem_atten_feat:
+                    voxel2d = voxel2d * pred_disp
+                voxel = jnp.concatenate([voxel, voxel2d], axis=-1)
+            return voxel
 
         def single(vol_i, cost_i, sem_i, c2i):
+            if separable:
+                return single_separable(vol_i, cost_i, sem_i, c2i)
             coord_img = project_voxels_to_frustum(coors_3d, c2i)
             c = vol_i.shape[-1]
             voxel, valid2d, _ = sample_stereo_volume_packed(

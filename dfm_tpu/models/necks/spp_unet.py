@@ -53,7 +53,10 @@ class SPPUNetNeck(nn.Module):
 
         stereo = concat
         if self.with_upconv:
-            stereo = UpconvModule(up_channels=(64, 32), norm=self.norm,
+            # reference upconv_module hard-codes (Sync)BN in its convbn
+            # blocks regardless of the neck norm_cfg
+            # (conv_modules.py:46-62); match it for checkpoint parity
+            stereo = UpconvModule(up_channels=(64, 32), norm='bn',
                                   dtype=self.dtype)(
                 [stereo, feats[1], feats[0]], train)
         stereo = ConvNorm(self.stereo_channels[0], (3, 3), norm=self.norm,

@@ -129,14 +129,32 @@ def build_plane_sweep_cost(cur_feats,
     feat_shape = cur_feats.shape[1:3]
 
     c = cur_feats.shape[-1]
+    d = depths.shape[0]
+
+    # The cur-frame grid is depth-independent and exactly the strided
+    # pixel lattice: the aug undo/redo cancels and img2cam->cam2img with
+    # the same camera is the identity, so cur_grid[d, y, x] =
+    # (x*csf, y*csf) for every depth (the reference still grid_samples
+    # it per depth hypothesis, dfm_backbone.py:296-303 — D x the work).
+    # When csf is an integer that sample is a pure slice, broadcast
+    # along D; only the prev frame needs real gathers.
+    csf = cost_sample_factor
+    slice_cur = float(csf) == float(int(csf))
 
     def single(cur_f, prev_f, c2i, c2p, ow, fl, co, sf):
         cur_grid, prev_grid = plane_sweep_grids(
             depths, c2i, c2p, feat_shape, cost_sample_factor,
             feat_sample_factor, ow, fl, co, sf)
-        # tap-packed gathers: one wide row fetch per query per frame
-        cur_s = packed_bilinear_sample(pack_taps_2d(cur_f), cur_grid, c)
+        # tap-packed gather: one wide row fetch per query (prev frame)
         prev_s = packed_bilinear_sample(pack_taps_2d(prev_f), prev_grid, c)
+        if slice_cur:
+            h_out, w_out = prev_grid.shape[1:3]
+            cur_s = jnp.broadcast_to(
+                cur_f[:h_out * int(csf):int(csf),
+                      :w_out * int(csf):int(csf)][None],
+                (d, h_out, w_out, c))
+        else:
+            cur_s = packed_bilinear_sample(pack_taps_2d(cur_f), cur_grid, c)
         return jnp.concatenate([cur_s, prev_s], axis=-1)
 
     return jax.vmap(single)(cur_feats, prev_feats, cam2img, cur2prev, org_w,

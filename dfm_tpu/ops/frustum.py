@@ -85,7 +85,8 @@ def sample_stereo_volume_packed(packed_vol, c, coord_img, pad_shape,
                                 depth_min, depth_max):
     """Trilinear sample from a `pack_taps_3d`-packed stereo volume:
     one wide gather per voxel."""
-    d, h, w = packed_vol.shape[:3]
+    # packed is (D+1, H+1, W+1, 8C): normalize by the ORIGINAL shape
+    d, h, w = (s - 1 for s in packed_vol.shape[:3])
     idx, valid2d, valid = _frustum_indices(
         coord_img, pad_shape, depth_min, depth_max, (d, h, w))
     out = packed_trilinear_sample(packed_vol, idx, c)
@@ -270,7 +271,8 @@ def sample_sem_features_packed(packed_sem, c, coord_img, pad_shape, valid2d):
     """Tap-packed sem-feature sampling (reference
     feature_transformation.py:144-160: depth coord zeroed, uv
     normalized by pad_shape)."""
-    hs, ws = packed_sem.shape[:2]
+    # packed is (H+1, W+1, 4C): normalize by the ORIGINAL shape
+    hs, ws = (s - 1 for s in packed_sem.shape[:2])
     pad_h, pad_w = pad_shape
     u, v = coord_img[..., 0], coord_img[..., 1]
     x_idx = u / (pad_w - 1) * (ws - 1)

@@ -190,6 +190,29 @@ def main():
                     PS.pack_taps_2d(sem), sem.shape[-1], coord_img,
                     pad_shape, valid2d)
             t = chain_time(f, (sem, coord_img))
+        elif s == 'cost':
+            from dfm_tpu.ops import cost_volume as CV
+            cfg2, *_ = (cfg,)
+            rng = np.random.RandomState(1)
+            h_f, w_f = 320, 1280  # full-res stereo feats (SPP upconv out)
+            cur_f = jnp.asarray(rng.randn(1, h_f, w_f, 32).astype(np.float32))
+            prev_f = jnp.asarray(
+                rng.randn(1, h_f, w_f, 32).astype(np.float32))
+            depths = jnp.asarray(
+                np.linspace(cfg.depth_min, cfg.depth_max,
+                            cfg.num_downsampled_bins).astype(np.float32))
+            cam = np.eye(4, dtype=np.float32)
+            cam[0, 0] = cam[1, 1] = 721.5
+            cam[0, 2], cam[1, 2] = 640, 160
+            c2p = np.eye(4, dtype=np.float32)
+            c2p[0, 3] = 0.3
+            c2p[2, 3] = -0.8
+            def f(cur_f, prev_f):
+                return CV.build_plane_sweep_cost(
+                    cur_f, prev_f, depths, jnp.asarray(cam)[None],
+                    jnp.asarray(c2p)[None], cost_sample_factor=4,
+                    feat_sample_factor=1)
+            t = chain_time(f, (cur_f, prev_f))
         else:
             print(f'{s}: unknown stage', file=sys.stderr)
             continue
