@@ -126,3 +126,54 @@ class WaymoDataset:
         return assemble_multiview_sample(
             self.infos[idx], self.data_root, self.num_frames,
             self.target_hw, self.num_views, self.max_gt)
+
+    # class index -> waymo type id (Car, Pedestrian, Cyclist)
+    CLASS_TO_WAYMO_TYPE = (1, 2, 4)
+
+    def format_results(self, results, out_bin):
+        """Vehicle-frame detections -> Waymo Objects .bin.
+
+        Replaces the reference's format_results -> KITTI2Waymo chain
+        (waymo_dataset.py:405-514) without the KITTI detour: the MV
+        model already predicts in the vehicle (lidar) frame.
+
+        Args:
+            results: list (per frame) of dicts with 'boxes_3d' (N, 7)
+                bottom-center lidar boxes, 'labels_3d' (N,),
+                'scores_3d' (N,).
+            out_bin: output path.
+        """
+        from ..evaluation.waymo_proto import Box, ObjectPred, \
+            encode_objects
+        objs = []
+        for info, res in zip(self.infos, results):
+            ctx = info.get('context_name', '')
+            ts = int(info.get('timestamp_micros', info.get('timestamp', 0)))
+            boxes = np.asarray(res['boxes_3d']).reshape(-1, 7)
+            labels = np.asarray(res['labels_3d']).astype(int)
+            scores = np.asarray(res['scores_3d'])
+            for b, lb, s in zip(boxes, labels, scores):
+                if lb < 0 or lb >= len(self.CLASS_TO_WAYMO_TYPE):
+                    continue
+                objs.append(ObjectPred(
+                    box=Box(center_x=float(b[0]), center_y=float(b[1]),
+                            center_z=float(b[2] + b[5] / 2),
+                            length=float(b[3]), width=float(b[4]),
+                            height=float(b[5]), heading=float(b[6])),
+                    type=self.CLASS_TO_WAYMO_TYPE[lb], score=float(s),
+                    context_name=ctx, frame_timestamp_micros=ts))
+        with open(out_bin, 'wb') as f:
+            f.write(encode_objects(objs))
+        return len(objs)
+
+    def evaluate(self, results, gt_bin, work_dir='/tmp', binary=None):
+        """Full eval: format -> .bin -> official binary or fallback.
+
+        Mirrors WaymoDataset.evaluate (waymo_dataset.py:516-720); the
+        returned ap_dict uses the reference's cam_sync (LET) key layout.
+        """
+        import os
+        from ..evaluation.waymo_eval import evaluate_waymo
+        pred_bin = os.path.join(work_dir, 'results_waymo.bin')
+        self.format_results(results, pred_bin)
+        return evaluate_waymo(pred_bin, gt_bin, binary=binary)

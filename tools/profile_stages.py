@@ -115,6 +115,46 @@ def main():
                 return fr.apply(vf, vol, cost, sem, coors, meta.cam2img,
                                 (h, w))
             t = chain_time(f, (vf, vol, cost, sem))
+        elif s == 'cost_bf16':
+            from dfm_tpu.ops.cost_volume import build_plane_sweep_cost
+            depths = jnp.asarray(cfg.downsampled_depths())
+            def f(a, b_):
+                return build_plane_sweep_cost(
+                    a, b_, depths, meta.ori_cam2img, meta.cur2prev,
+                    cost_sample_factor=cfg.cost_sample_factor,
+                    feat_sample_factor=1, org_w=meta.org_w, flip=meta.flip,
+                    crop_offset=meta.crop_offset,
+                    scale_factor=meta.scale_factor)
+            t = chain_time(f, (stereo_full, stereo_full))
+        elif s in ('dres0', 'dres1', 'hourglass', 'pred', 'convt3d'):
+            from dfm_tpu.models.layers import (ConvNorm, ConvTransposeNorm,
+                                               Hourglass)
+            from dfm_tpu.models.backbones.dfm_backbone import \
+                DepthPredModule
+            cost64 = jnp.concatenate([vol, vol], -1)
+            if s == 'dres0':
+                mod = ConvNorm(32, (3, 3, 3), norm='gn',
+                               dtype=jnp.bfloat16)
+                x = cost64
+            elif s == 'dres1':
+                mod = ConvNorm(32, (3, 3, 3), norm='gn', act=False,
+                               dtype=jnp.bfloat16)
+                x = vol
+            elif s == 'hourglass':
+                mod = Hourglass(32, ndim=3, norm='gn', dtype=jnp.bfloat16)
+                x = vol
+            elif s == 'pred':
+                mod = DepthPredModule(32, 'gn', jnp.bfloat16)
+                x = vol
+            else:
+                mod = ConvTransposeNorm(32, ndim=3, norm='gn',
+                                        dtype=jnp.bfloat16)
+                x = vol[:, ::2, ::2, ::2]
+            v = mod.init(jax.random.PRNGKey(0), x)
+            def f(v, x):
+                out = mod.apply(v, x)
+                return out[0] if isinstance(out, tuple) else out
+            t = chain_time(f, (v, x))
         else:
             print(f'{s}: unknown stage', file=sys.stderr)
             continue
