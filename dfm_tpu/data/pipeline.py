@@ -391,3 +391,77 @@ def _pad44(m):
     out = np.eye(4)
     out[:m.shape[0], :m.shape[1]] = m
     return out
+
+
+def truncated_object_filter(annos, truncated_threshold=0.98):
+    """Drop heavily truncated objects from an annotation dict
+    (reference TruncatedObjectFilter, transforms_3d.py:915-957; applied
+    before LoadAnnotations3D in the DfM config).
+
+    Args:
+        annos: dict of per-object arrays including 'truncated'; 'plane'
+            (if present) is passed through untouched.
+    """
+    valid = np.asarray(annos['truncated']) < truncated_threshold
+    out = {}
+    for k, v in annos.items():
+        if k == 'plane' or np.ndim(v) == 0 or len(v) != len(valid):
+            out[k] = v
+        else:
+            out[k] = np.asarray(v)[valid]
+    return out
+
+
+def ignored_object_filter(annos):
+    """Drop label==-1 (ignored / DontCare-mapped) objects (reference
+    IgnoredObjectFilter, transforms_3d.py:970-995)."""
+    valid = np.asarray(annos['labels']) > -1
+    out = {}
+    for k, v in annos.items():
+        if k == 'plane' or np.ndim(v) == 0 or len(v) != len(valid):
+            out[k] = v
+        else:
+            out[k] = np.asarray(v)[valid]
+    return out
+
+
+def global_rot_scale_trans(points, gt_boxes, rng,
+                           rot_range=(-0.78539816, 0.78539816),
+                           scale_ratio_range=(0.95, 1.05),
+                           translation_std=(0.0, 0.0, 0.0)):
+    """Global rotation / scaling / translation of a LiDAR-frame scene
+    (reference GlobalRotScaleTrans, transforms_3d.py:649-847; order:
+    rotate -> scale -> translate, matching __call__).
+
+    Args:
+        points: (N, >=3) lidar points.
+        gt_boxes: (G, 7) bottom-center lidar boxes.
+        rng: np.random.RandomState.
+
+    Returns:
+        (points, gt_boxes, dict(rotation=angle, scale=s, trans=t)).
+    """
+    points = np.array(points, np.float32, copy=True)
+    gt_boxes = np.array(gt_boxes, np.float32, copy=True)
+
+    angle = rng.uniform(rot_range[0], rot_range[1])
+    c, s = np.cos(angle), np.sin(angle)
+    # LiDARInstance3DBoxes.rotate convention (yaw around +z);
+    # counter-clockwise rotation of x-y
+    rot = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]], np.float32)
+    points[:, :3] = points[:, :3] @ rot
+    if len(gt_boxes):
+        gt_boxes[:, :3] = gt_boxes[:, :3] @ rot
+        gt_boxes[:, 6] += angle
+
+    scale = rng.uniform(scale_ratio_range[0], scale_ratio_range[1])
+    points[:, :3] *= scale
+    if len(gt_boxes):
+        gt_boxes[:, :6] *= scale
+
+    trans = rng.normal(scale=np.asarray(translation_std, np.float32),
+                       size=3).astype(np.float32)
+    points[:, :3] += trans
+    if len(gt_boxes):
+        gt_boxes[:, :3] += trans
+    return points, gt_boxes, dict(rotation=angle, scale=scale, trans=trans)

@@ -1,9 +1,10 @@
 """Standard ResNet-50/101 backbone (flax), for the mono path.
 
-Equivalent of mmdet `ResNet` as used by FCOS3D / PGD / MV-FCOS3D++
-(R101 w/ DCN in the reference configs). Deformable conv stages are
-substituted with standard convs in this round (documented deviation;
-a Pallas deformable-sampling kernel is the planned equivalent).
+Equivalent of mmdet `ResNet` as used by FCOS3D / PGD / MV-FCOS3D++:
+R101 with DCNv2 on stages 2-4 in the reference configs
+(multiview-dfm...camsync.py:16, stage_with_dcn=(False, True, True,
+True)). The deformable stages use the XLA-native gather+bilinear
+DCNv2 (dfm_tpu.ops.deform_conv).
 """
 
 from typing import Any, Sequence, Tuple
@@ -12,8 +13,44 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..layers import apply_norm
+from ...ops.deform_conv import deform_conv2d
 
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class DeformConv2d(nn.Module):
+    """DCNv2 layer: zero-init offset/mask conv + deformable conv.
+
+    mmcv's ModulatedDeformConv2dPack splits its 3K offset-conv channels
+    as chunk(o1, o2, mask); here the layout is [2K interleaved (dy, dx);
+    K mask logits] — an importer must permute accordingly.
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        k = kh * kw
+        off = nn.Conv(3 * k, self.kernel_size, strides=self.strides,
+                      padding=[(self.dilation * (kh // 2),) * 2,
+                               (self.dilation * (kw // 2),) * 2],
+                      kernel_dilation=(self.dilation,) * 2,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.dtype, name='conv_offset')(x)
+        offset = off[..., :2 * k].astype(jnp.float32)
+        mask = nn.sigmoid(off[..., 2 * k:].astype(jnp.float32))
+        weight = self.param('kernel', nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        out = deform_conv2d(x.astype(self.dtype), offset, mask,
+                            weight.astype(self.dtype),
+                            stride=self.strides[0], dilation=self.dilation)
+        return out.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -21,6 +58,7 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    dcn: bool = False
     norm: str = 'bn'
     dtype: Any = jnp.float32
 
@@ -32,9 +70,15 @@ class Bottleneck(nn.Module):
                       dtype=self.dtype)(x)
         out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      kernel_dilation=(d, d), padding=[(d, d), (d, d)],
-                      use_bias=False, dtype=self.dtype)(out)
+        if self.dcn:
+            out = DeformConv2d(self.planes, (3, 3),
+                               strides=(self.stride,) * 2,
+                               dilation=d, dtype=self.dtype,
+                               name='conv2_dcn')(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                          kernel_dilation=(d, d), padding=[(d, d), (d, d)],
+                          use_bias=False, dtype=self.dtype)(out)
         out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
@@ -56,6 +100,8 @@ class ResNet(nn.Module):
     strides: Tuple[int, ...] = (1, 2, 2, 2)
     dilations: Tuple[int, ...] = (1, 1, 1, 1)
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    # per-stage DCNv2 (reference camsync config: (False, True, True, True))
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     norm: str = 'bn'
     dtype: Any = jnp.float32
 
@@ -76,7 +122,8 @@ class ResNet(nn.Module):
                 need_ds = b == 0 and (stride != 1 or in_planes != planes * 4)
                 x = Bottleneck(planes=planes, stride=stride,
                                dilation=self.dilations[i],
-                               downsample=need_ds, norm=self.norm,
+                               downsample=need_ds,
+                               dcn=self.stage_with_dcn[i], norm=self.norm,
                                dtype=self.dtype,
                                name=f'layer{i + 1}_block{b}')(x, train)
                 in_planes = planes * 4

@@ -42,6 +42,20 @@ class MVDfMConfig:
     voxel_range: Tuple[float, ...] = (-35.0, -75.0, -2, 75.0, 75.0, 4)
     voxel_grid: Tuple[int, int, int] = (12, 240, 300)   # (Nz, Ny, Nx)
     backbone_depth: int = 101
+    # neck_3d selection: 'imvoxel' (camsync config) or 'dfm' (10-sweeps
+    # config, requires frame_fusion='concat'; reference dfm_neck.py)
+    neck_3d: str = 'imvoxel'
+    # optional stereo path (reference multiview_dfm.py:210-256): a 3D
+    # backbone over the volume + voxel_sample frustum re-projection
+    # feeding a dense depth head. Off in both shipped configs
+    # (camsync.py:26-27 sets depth_head=None, backbone_3d=None).
+    with_backbone_3d: bool = False
+    with_depth_head: bool = False
+    num_backbone_3d_blocks: int = 2
+    depth_min: float = 2.0
+    depth_max: float = 70.0
+    depth_num_bins: int = 128
+    depth_downsample: int = 4
     anchor_ranges: Tuple[Tuple[float, ...], ...] = (
         (-35.0, -75.0, -0.0345, 75.0, 75.0, -0.0345),
         (-35.0, -75.0, 0.0, 75.0, 75.0, 0.0),
@@ -149,17 +163,67 @@ class MultiViewDfM(nn.Module):
         vol = jax.vmap(sample_batch)(feat0, lidar2img)  # (B, P, C')
         vol = vol.reshape(b, nz, ny, nx, -1)
 
-        bev = OutdoorImVoxelNeck(in_channels=vol.shape[-1],
-                                 out_channels=256, norm='bn',
-                                 dtype=self.dtype,
-                                 name='neck_3d')(vol, train)
+        out = {}
+        if cfg.with_backbone_3d:
+            # volume 3D backbone (reference multiview_dfm.py:210-217;
+            # residual blocks keeping the grid resolution)
+            from ..necks.imvoxel_neck import ResModule3D
+            vb = vol
+            for i in range(cfg.num_backbone_3d_blocks):
+                vb = ResModule3D(vb.shape[-1], 'bn', self.dtype,
+                                 name=f'backbone_3d_block{i}')(vb, train)
+            vol = vb
+
+        if cfg.with_depth_head:
+            # voxel_sample stereo re-projection per (batch, view)
+            # (reference :220-256, transform_depth=False path) + a depth
+            # cost module predicting a per-view depth distribution
+            from ...ops.frustum import voxel_sample
+            depth_samples = np.linspace(
+                cfg.depth_min, cfg.depth_max, cfg.depth_num_bins,
+                dtype=np.float32)
+            vr = np.asarray(cfg.voxel_range, np.float32)
+            vs = (vr[3:] - vr[:3]) / np.asarray(
+                cfg.voxel_grid[::-1], np.float32)
+
+            def frustum_one(vol_b, l2i_bv):
+                return voxel_sample(
+                    vol_b, jnp.asarray(depth_samples), l2i_bv,
+                    cfg.depth_downsample, (h, w),
+                    voxel_range=vr, voxel_size=vs)
+
+            stereo = jax.vmap(
+                lambda vol_b, l2i_b: jax.vmap(
+                    lambda m: frustum_one(vol_b, m))(l2i_b))(
+                    vol, lidar2img[:, 0])      # (B, V, D', H', W', C)
+            from ..backbones.dfm_backbone import DepthPredModule
+            sb, sv = stereo.shape[:2]
+            stereo_flat = stereo.reshape((sb * sv,) + stereo.shape[2:])
+            depth_cost = DepthPredModule(
+                stereo_flat.shape[-1], 'gn', self.dtype,
+                name='depth_pred')(stereo_flat, train)[..., 0]
+            out['stereo_feat'] = stereo_flat
+            out['depth_cost'] = depth_cost     # (B*V, D', H', W')
+
+        if cfg.neck_3d == 'dfm':
+            from ..necks.dfm_neck import DfMNeck
+            assert cfg.frame_fusion == 'concat' and f == cfg.num_frames
+            bev = DfMNeck(in_channels=cfg.feat_channels, out_channels=256,
+                          num_frames=f, norm='bn', dtype=self.dtype,
+                          name='neck_3d')(vol, train)
+        else:
+            bev = OutdoorImVoxelNeck(in_channels=vol.shape[-1],
+                                     out_channels=256, norm='bn',
+                                     dtype=self.dtype,
+                                     name='neck_3d')(vol, train)
         head = LIGAAnchor3DHead(
             num_classes=cfg.num_classes, feat_channels=256, num_convs=0,
             num_anchors=len(cfg.anchor_sizes) * len(cfg.anchor_rotations),
             norm='none', dtype=self.dtype, name='bbox_head_3d')
         cls_score, bbox_pred, dir_pred = head(bev, train)
-        return dict(cls_score=cls_score, bbox_pred=bbox_pred,
-                    dir_pred=dir_pred, bev_feat=bev, volume_feat=vol)
+        out.update(cls_score=cls_score, bbox_pred=bbox_pred,
+                   dir_pred=dir_pred, bev_feat=bev, volume_feat=vol)
+        return out
 
 
 def _mv_anchors(cfg: MVDfMConfig, featmap_size):
@@ -172,7 +236,7 @@ def _mv_anchors(cfg: MVDfMConfig, featmap_size):
     return per_class, jnp.asarray(grid.reshape(-1, 7))
 
 
-def mvdfm_loss(outputs, batch, cfg: MVDfMConfig, axis_name=None):
+def mvdfm_loss(outputs, batch, cfg: MVDfMConfig, rng=None, axis_name=None):
     ny, nx = outputs['cls_score'].shape[1:3]
     per_class, _ = _mv_anchors(cfg, (ny, nx))
     losses = anchor3d_head_loss(
@@ -181,6 +245,27 @@ def mvdfm_loss(outputs, batch, cfg: MVDfMConfig, axis_name=None):
         list(cfg.assigner_cfgs), num_classes=cfg.num_classes,
         dir_offset=cfg.dir_offset, use_iou_loss=False,
         loss_weights=(1.0, 2.0, 0.2, 0.0), axis_name=axis_name)
+    if 'depth_cost' in outputs and 'depth_img' in batch and rng is not None:
+        # dense per-view depth loss on the voxel_sample stereo path
+        # (reference multiview_dfm.py:299-306)
+        from ..heads.depth_head import depth_distribution_loss
+        cost = outputs['depth_cost']           # (B*V, D', H', W')
+        depth_img = batch['depth_img']
+        fg = batch.get('depth_fgmask_img')
+        bv = cost.shape[0]
+        depth_img = depth_img.reshape((bv,) + depth_img.shape[-2:])
+        if fg is not None:
+            fg = fg.reshape((bv,) + fg.shape[-2:])
+        else:
+            fg = jnp.ones(depth_img.shape, jnp.int32)
+        samples = np.linspace(cfg.depth_min, cfg.depth_max,
+                              cfg.depth_num_bins, dtype=np.float32)
+        losses['loss_dense_depth'] = depth_distribution_loss(
+            cost, depth_img, fg, jnp.asarray(samples), rng,
+            dict(type='ce', loss_weight=1.0),
+            up_factor=cfg.depth_downsample,
+            num_sample_pixels=2048, depth_min=cfg.depth_min,
+            depth_max=cfg.depth_max)
     return sum(losses.values()), losses
 
 

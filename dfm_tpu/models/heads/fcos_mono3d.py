@@ -184,7 +184,7 @@ def fcos3d_targets_single(points, strides_per_point, regress_lo, regress_hi,
         tgt = tgt.at[:, :2].divide(strides_per_point[:, None])
     rel = jnp.sqrt(jnp.sum(tgt[:, :2]**2, axis=-1)) / 1.414
     centerness = jnp.exp(-cfg.centerness_alpha * rel)
-    return labels.astype(jnp.int32), tgt, centerness, pos
+    return labels.astype(jnp.int32), tgt, centerness, pos, argmin
 
 
 def fcos3d_loss(level_outs, points_np, cfg: FCOS3DConfig, batch,
@@ -223,7 +223,7 @@ def fcos3d_loss(level_outs, points_np, cfg: FCOS3DConfig, batch,
         points, strides_pp, lo, hi, b2, c2, dp, bc, gl, gm, cfg))(
             batch['gt_bboxes2d'], batch['centers2d'], batch['gt_depths'],
             batch['gt_boxes_cam'], batch['gt_labels'], batch['gt_mask'])
-    labels, tgt3d, ctr_tgt, pos = tg
+    labels, tgt3d, ctr_tgt, pos, _ = tg
 
     num_pos = pos.sum().astype(jnp.float32)
     if axis_name is not None:

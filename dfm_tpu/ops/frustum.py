@@ -503,3 +503,67 @@ def sample_softmax_base27(base27, lse4, coord_img, pad_shape, depth_min,
             prob = jnp.exp(f_val - lse)
             out = out + (wx * wy * wz) * (vx & vy & vz) * prob
     return jnp.where(valid, out, 0.0)
+
+
+def voxel_sample(volume, depth_samples, proj_mat, downsample_factor,
+                 pad_shape, img_shape=None, scale_factor=None,
+                 crop_offset=None, flip=None, voxel_range=None,
+                 voxel_size=None):
+    """Sample a voxel feature volume on a camera frustum grid.
+
+    Equivalent of the reference's `voxel_sample`
+    (fusion_layers/point_fusion.py:324-412): builds a
+    (D', H_out, W_out) grid of (u, v, depth) image points, undoes the
+    augmentation (flip -> crop -> scale), back-projects with the
+    ORIGINAL lidar2img matrix, converts to voxel-grid coordinates
+    (AlignedAnchor convention: -0.5 cell-center offset) and samples the
+    volume trilinearly (align-corners on the normalized cube, matching
+    F.grid_sample semantics).
+
+    Args:
+        volume: (Nz, Ny, Nx, C) voxel features (z-major, channels-last;
+            the reference uses (1, C, Nx, Ny, Nz)).
+        depth_samples: (D,) full-resolution depth bin centers; strided
+            by `downsample_factor` like the reference.
+        proj_mat: (4, 4) original lidar2img.
+        pad_shape: (H_pad, W_pad) padded image size defining the grid.
+        img_shape: (h, w) pre-pad shape used for flip undo.
+        voxel_range: (6,) (x0, y0, z0, x1, y1, z1).
+        voxel_size: (3,) voxel edge lengths.
+
+    Returns:
+        (D', H_out, W_out, C) frustum features.
+    """
+    h, w = pad_shape
+    h_out = round(h / downsample_factor)
+    w_out = round(w / downsample_factor)
+    ws = jnp.arange(w_out, dtype=jnp.float32) * downsample_factor
+    hs = jnp.arange(h_out, dtype=jnp.float32) * downsample_factor
+    depths = jnp.asarray(depth_samples)[::downsample_factor]
+    dd, yy, xx = jnp.meshgrid(depths, hs, ws, indexing='ij')
+    grid = jnp.stack([xx, yy, dd], axis=-1)       # (D', H', W', 3)
+
+    u = grid[..., 0]
+    if flip is not None and img_shape is not None:
+        u = jnp.where(flip > 0, img_shape[1] - u, u)
+    uv = jnp.stack([u, grid[..., 1]], axis=-1)
+    if crop_offset is not None:
+        uv = uv + crop_offset
+    if scale_factor is not None:
+        uv = uv / scale_factor
+    pts = jnp.concatenate([uv, grid[..., 2:3]], axis=-1)
+
+    from ..core.transforms import points_img2cam
+    grid3d = points_img2cam(pts.reshape(-1, 3), proj_mat)  # lidar frame
+    vr = jnp.asarray(voxel_range, jnp.float32)
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    idx = (grid3d - vr[:3]) / vs - 0.5            # (P, 3) x, y, z voxel idx
+    nz, ny, nx = volume.shape[:3]
+    # grid_sample normalized-cube -> align-corners index space of the
+    # STATIC grid extent (reference normalizes by (range/size), i.e. the
+    # number of voxels, then maps [-1, 1] onto [0, n-1])
+    n3 = jnp.stack([jnp.float32(nx), jnp.float32(ny), jnp.float32(nz)])
+    norm = idx / n3 * 2 - 1                        # (-1, 1) cube
+    coords = (norm + 1) / 2 * (n3 - 1)             # align-corners indices
+    out = trilinear_sample(volume, coords.reshape(grid.shape[:3] + (3,)))
+    return out

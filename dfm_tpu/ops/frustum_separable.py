@@ -49,6 +49,20 @@ __all__ = ['slab_uv', 'slab_depth_static', 'hat_matrix',
 _HP = jax.lax.Precision.HIGHEST
 
 
+def _mm(eq, a, b, fast):
+    """Sampling einsum. `fast` (bf16 feature volumes): bf16 operands
+    with f32 accumulation — hat weights round to bf16 (<=0.4% weight
+    error, immaterial next to bf16 feature values; the gather path
+    rounds the features identically). Exact f32/HIGHEST otherwise
+    (parity tests, f32 models)."""
+    if fast:
+        return jnp.einsum(eq, a.astype(jnp.bfloat16),
+                          b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(eq, a.astype(jnp.float32), b.astype(jnp.float32),
+                      precision=_HP)
+
+
 def is_separable_cam(cam2img, atol=0.0):
     """Host-side check (on a CONCRETE matrix) that the projection
     factorizes per x-slab. Use in tests / data validation, not under
@@ -106,12 +120,13 @@ def slab_depth_static(xs, depth_min, depth_max, num_bins):
     )
 
 
-def hat_matrix(idx, n):
+def hat_matrix(idx, n, dtype=jnp.float32):
     """(..., m) fractional indices -> (..., m, n) 2-tap interpolation
     matrix: M[..., q, j] = max(0, 1 - |idx_q - j|). Equals bilinear
     weights with out-of-range taps masked (packed_sample semantics)."""
     nodes = jnp.arange(n, dtype=jnp.float32)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(idx[..., None] - nodes))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx[..., None] - nodes)
+                       ).astype(dtype)
 
 
 def _runs(vals):
@@ -176,15 +191,15 @@ def separable_stereo_sample(vol, u, v, ds, pad_shape, out_f32=False):
     mv_g = mv[jnp.asarray(ord_)]                            # (K, R, nz, h)
     mu_g = mu[jnp.asarray(ord_)]                            # (K, R, ny, w)
 
-    v0 = vol[jnp.asarray(slice_idx)].astype(jnp.float32)    # (K, h, w, c)
-    v1 = vol[jnp.asarray(np.minimum(slice_idx + 1, d - 1))].astype(
-        jnp.float32)
+    fast = vol.dtype == jnp.bfloat16
+    v0 = vol[jnp.asarray(slice_idx)]                        # (K, h, w, c)
+    v1 = vol[jnp.asarray(np.minimum(slice_idx + 1, d - 1))]
 
     mv0 = mv_g * w0[..., None, None]
     mv1 = mv_g * w1[..., None, None]
-    t = (jnp.einsum('krzh,khwc->krzwc', mv0, v0, precision=_HP) +
-         jnp.einsum('krzh,khwc->krzwc', mv1, v1, precision=_HP))
-    out = jnp.einsum('krzwc,kryw->krzyc', t, mu_g, precision=_HP)
+    t = (_mm('krzh,khwc->krzwc', mv0, v0, fast) +
+         _mm('krzh,khwc->krzwc', mv1, v1, fast))
+    out = _mm('krzwc,kryw->krzyc', t, mu_g, fast)
     out = out.reshape(k * r, nz, ny, c)[jnp.asarray(pos)]   # (nx, nz, ny, c)
     out = out.transpose(1, 2, 0, 3)                         # (nz, ny, nx, c)
 
@@ -214,9 +229,9 @@ def separable_sem_sample(sem, u, v, pad_shape, valid2d):
     y_idx = v / (pad_h - 1) * (hs - 1)
     mu = hat_matrix(x_idx, ws)                              # (nx, ny, ws)
     mv = hat_matrix(y_idx, hs)                              # (nx, nz, hs)
-    t = jnp.einsum('szh,hwc->szwc', mv, sem.astype(jnp.float32),
-                   precision=_HP)
-    out = jnp.einsum('szwc,syw->szyc', t, mu, precision=_HP)
+    fast = sem.dtype == jnp.bfloat16
+    t = _mm('szh,hwc->szwc', mv, sem, fast)
+    out = _mm('szwc,syw->szyc', t, mu, fast)
     out = out.transpose(1, 2, 0, 3)                         # (nz, ny, nx, c)
     return (out * valid2d[..., None]).astype(sem.dtype)
 
@@ -226,17 +241,24 @@ def build_fine_softmax_volume(cost, up_factor, pad_shape,
     """softmax_D(upsample x4(cost)) materialized on the fine grid:
     (D_f, H_f, W_f) in `dtype`.
 
-    Exact equivalent of torch's trilinear-upsample -> softmax chain
-    (reference feature_transformation.py:128-142); one (D_f, D) matmul
-    over the hw-upsampled cost + an exp pass.
+    Equivalent of torch's trilinear-upsample -> softmax chain (reference
+    feature_transformation.py:128-142). The softmax is internally
+    consistent at any matmul precision (lse comes from the same fine
+    array), so when the model runs bf16 the three interpolation matmuls
+    use bf16 operands with f32 accumulation (6x cheaper than
+    f32/HIGHEST); f32 inputs keep the exact path.
     """
-    from .frustum import _upsample_hw, depth_softmax_lse_map
-    d = cost.shape[0]
+    d, h, w = cost.shape
+    h_f, w_f = pad_shape
     d_f = d * up_factor
-    cost_hw = _upsample_hw(cost, pad_shape)
-    lse = depth_softmax_lse_map(cost, up_factor, pad_shape, cost_hw=cost_hw)
+    fast = cost.dtype == jnp.bfloat16
+    wh = interp_matrix(h, h_f, dtype=jnp.float32)
+    ww = interp_matrix(w, w_f, dtype=jnp.float32)
     wd = interp_matrix(d, d_f, dtype=jnp.float32)
-    fine = jnp.einsum('fd,dhw->fhw', wd, cost_hw, precision=_HP)
+    ch = _mm('ab,dbw->daw', wh, cost, fast)
+    chw = _mm('cw,daw->dac', ww, ch, fast)
+    fine = _mm('fd,dhw->fhw', wd, chw, fast)
+    lse = jax.nn.logsumexp(fine, axis=0)
     return jnp.exp(fine - lse[None]).astype(dtype)
 
 
@@ -256,18 +278,22 @@ def separable_softmax_attention(sm_fine, u, v, dsf, pad_shape):
     pad_h, pad_w = pad_shape
     x_f = u / (pad_w - 1) * (w_f - 1)                       # (nx, ny)
     y_f = v / (pad_h - 1) * (h_f - 1)                       # (nx, nz)
-    mu = hat_matrix(x_f, w_f)                               # (nx, ny, w_f)
-    mv = hat_matrix(y_f, h_f)                               # (nx, nz, h_f)
+    mdtype = sm_fine.dtype if sm_fine.dtype == jnp.bfloat16 \
+        else jnp.float32
+    mu = hat_matrix(x_f, w_f, mdtype)                       # (nx, ny, w_f)
+    mv = hat_matrix(y_f, h_f, mdtype)                       # (nx, nz, h_f)
 
     z0 = jnp.asarray(dsf['z0'])
     z1 = jnp.asarray(dsf['z1'])
     w0 = jnp.asarray(dsf['w0'])
     w1 = jnp.asarray(dsf['w1'])
-    smf = sm_fine.astype(jnp.float32)
+    fast = sm_fine.dtype == jnp.bfloat16
+    smf = sm_fine if fast else sm_fine.astype(jnp.float32)
     # depth-lerped fine slice per slab (2 row gathers + fma, fused)
-    smq = (smf[z0] * w0[:, None, None] + smf[z1] * w1[:, None, None])
-    t = jnp.einsum('szh,shw->szw', mv, smq, precision=_HP)
-    att = jnp.einsum('szw,syw->szy', t, mu, precision=_HP)
+    smq = (smf[z0] * w0[:, None, None].astype(smf.dtype) +
+           smf[z1] * w1[:, None, None].astype(smf.dtype))
+    t = _mm('szh,shw->szw', mv, smq, fast)
+    att = _mm('szw,syw->szy', t, mu, fast)
     att = att.transpose(1, 2, 0)                            # (nz, ny, nx)
 
     valid2d = ((u >= 0) & (u <= pad_w))[None].transpose(0, 2, 1) & \

@@ -146,3 +146,62 @@ def test_pgd_head_and_loss(setup):
     losses = jax.jit(lambda o: pgd_loss(o, pts, cfg, batch))(outs)
     assert 'loss_depth_uncertain' in losses
     assert np.isfinite(float(sum(losses.values())))
+
+
+def test_pgd_full_branches(setup):
+    """PGD completions: keypoints, bbox2d, projected-box consistency
+    (reference pgd_head.py:265-439, 723-751)."""
+    from dfm_tpu.models import PGDConfig, PGDHead, pgd_loss
+    from dfm_tpu.models.detectors.fcos_mono3d import mono_level_points
+    from dfm_tpu.models.backbones.resnet import ResNet
+    from dfm_tpu.models.necks.fpn import FPN
+    import flax.linen as nn
+
+    cfg = PGDConfig(in_channels=32, feat_channels=32, stacked_convs=1,
+                    depth_branch=(16,), nms_pre=64, max_num=8,
+                    pred_keypoints=True, pred_bbox2d=True)
+
+    class PGDNet(nn.Module):
+        @nn.compact
+        def __call__(self, img, train=False):
+            feats = ResNet(depth=50, name='backbone')(img, train)
+            fpn = FPN(out_channels=32, num_outs=5, start_level=1,
+                      name='neck')(feats, train)
+            return PGDHead(cfg=cfg, name='head')(fpn, train)
+
+    model = PGDNet()
+    img = jnp.asarray(
+        np.random.RandomState(2).randn(B, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    outs = jax.jit(lambda v, i: model.apply(v, i))(variables, img)
+    assert outs[0]['kpts_pred'].shape[-1] == 16
+    assert outs[0]['bbox2d_pred'].shape[-1] == 4
+    assert (np.asarray(outs[0]['kpts_pred']) <= 1).all()
+    assert (np.asarray(outs[0]['bbox2d_pred']) >= 0).all()
+
+    batch, fx = _mono_batch()
+    cam2img = np.eye(4, dtype=np.float32)
+    cam2img[0, 0] = cam2img[1, 1] = fx
+    cam2img[0, 2] = W / 2
+    cam2img[1, 2] = H / 2
+    cam2img = np.tile(cam2img[None], (B, 1, 1))
+    pts = mono_level_points((H, W), cfg)
+    losses = jax.jit(
+        lambda o: pgd_loss(o, pts, cfg, batch,
+                           cam2img=jnp.asarray(cam2img)))(outs)
+    for k in ('loss_kpts', 'loss_bbox2d', 'loss_consistency',
+              'loss_depth_uncertain'):
+        assert k in losses, k
+        assert np.isfinite(float(losses[k])), k
+    # grads flow into the new branches
+    import jax as _jax
+
+    def loss_fn(v):
+        o = model.apply(v, img, train=False)
+        ls = pgd_loss(o, pts, cfg, batch, cam2img=jnp.asarray(cam2img))
+        return sum(ls.values())
+    grads = _jax.grad(loss_fn)(variables)
+    gk = grads['params']['head']['conv_kpts']['kernel']
+    gb = grads['params']['head']['conv_bbox2d']['kernel']
+    assert np.isfinite(np.asarray(gk)).all()
+    assert float(np.abs(np.asarray(gb)).sum()) > 0

@@ -87,3 +87,128 @@ def test_prev_frames_no_grad(setup):
 
     g = jax.jit(jax.grad(loss_fn))(variables['params'])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def _mk_l2i():
+    l2i = np.zeros((B, F, V, 4, 4), np.float32)
+    for f in range(F):
+        for v in range(V):
+            ang = 2 * np.pi * v / V
+            c, s = np.cos(ang), np.sin(ang)
+            rot = np.array([[-s, c, 0, 0], [0, 0, -1, 0],
+                            [c, s, 0, 0], [0, 0, 0, 1]], np.float32)
+            K = np.eye(4, dtype=np.float32)
+            K[0, 0] = K[1, 1] = 30.0
+            K[0, 2] = W / 2
+            K[1, 2] = H / 2
+            l2i[:, f, v] = K @ rot
+    return jnp.asarray(l2i)
+
+
+def test_dfm_neck_10sweeps_variant():
+    """10-sweeps config shape: frame_fusion='concat' + DfMNeck
+    (reference multiview-dfm...camsync_10sweeps.py neck_3d diff)."""
+    cfg = MVDfMConfig(
+        num_views=V, num_frames=F, feat_channels=16,
+        frame_fusion='concat', neck_3d='dfm',
+        voxel_range=(-8, -8, -1, 8, 8, 3), voxel_grid=(4, 16, 16),
+        anchor_ranges=((-8, -8, 0.0, 8, 8, 0.0),) * 3,
+        backbone_depth=50, nms_pre=128, max_num=8)
+    model = MultiViewDfM(cfg=cfg)
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.randn(B, F, V, H, W, 3).astype(np.float32))
+    l2i = _mk_l2i()
+    variables = model.init(jax.random.PRNGKey(0), imgs, l2i, (H, W))
+    outs = model.apply(variables, imgs, l2i, (H, W))
+    nz, ny, nx = cfg.voxel_grid
+    assert outs['volume_feat'].shape == (B, nz, ny, nx, 16 * F)
+    assert outs['bev_feat'].shape == (B, ny, nx, 256)
+    assert np.isfinite(np.asarray(outs['bev_feat'])).all()
+    # gate params exist
+    assert 'neck_3d' in variables['params']
+    assert 'aggregate_layer' in variables['params']['neck_3d']
+
+
+def test_voxel_sample_matches_torch_grid_sample():
+    """ops.frustum.voxel_sample vs torch F.grid_sample on the same
+    normalized frustum grid (reference point_fusion.py:324-412)."""
+    torch = pytest.importorskip('torch')
+    from dfm_tpu.ops.frustum import voxel_sample
+    rng = np.random.RandomState(2)
+    nz, ny, nx, c = 4, 8, 10, 5
+    vol = rng.randn(nz, ny, nx, c).astype(np.float32)
+    vr = np.array([-5, -4, -1, 5, 4, 3], np.float32)
+    vs = (vr[3:] - vr[:3]) / np.array([nx, ny, nz], np.float32)
+    # simple forward camera: lidar x fwd -> img depth
+    K = np.array([[20, 0, 16, 0], [0, 20, 12, 0], [0, 0, 1, 0],
+                  [0, 0, 0, 1]], np.float32)
+    rot = np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0],
+                    [0, 0, 0, 1]], np.float32)
+    proj = K @ rot
+    depth_samples = np.linspace(1.0, 8.0, 8, dtype=np.float32)
+    pad_shape = (24, 32)
+    down = 4
+    out = np.asarray(voxel_sample(
+        jnp.asarray(vol), jnp.asarray(depth_samples), jnp.asarray(proj),
+        down, pad_shape, voxel_range=vr, voxel_size=vs))
+
+    # torch reference: build the same normalized grid and grid_sample
+    h_out, w_out = pad_shape[0] // down, pad_shape[1] // down
+    ws = np.arange(w_out) * down
+    hs = np.arange(h_out) * down
+    ds = depth_samples[::down]
+    dd, yy, xx = np.meshgrid(ds, hs, ws, indexing='ij')
+    grid = np.stack([xx, yy, dd], -1).reshape(-1, 3).astype(np.float32)
+    pts = np.concatenate([grid[:, :2] * grid[:, 2:3], grid[:, 2:3],
+                          np.ones_like(grid[:, :1])], -1)
+    grid3d = (np.linalg.inv(proj) @ pts.T).T[:, :3]
+    idx = (grid3d - vr[:3]) / vs - 0.5
+    n3 = np.array([nx, ny, nz], np.float32)
+    # grid order (x_hat, y_hat, z_hat) samples (W=nx, H=ny, D=nz): our
+    # volume layout is (nz, ny, nx), so no axis permutation (the
+    # reference permutes [2,1,0] because its volume is (Nx, Ny, Nz))
+    norm = idx / n3 * 2 - 1
+    tvol = torch.from_numpy(vol.transpose(3, 0, 1, 2)[None])  # 1,C,D,H,W
+    tgrid = torch.from_numpy(norm.reshape(1, len(ds), h_out, w_out, 3))
+    ref = torch.nn.functional.grid_sample(
+        tvol, tgrid, mode='bilinear', padding_mode='zeros',
+        align_corners=True)[0].permute(1, 2, 3, 0).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_depth_head_path():
+    """with_backbone_3d + with_depth_head: stereo re-sampling feeds a
+    depth cost and the dense depth loss is finite."""
+    cfg = MVDfMConfig(
+        num_views=V, num_frames=1, feat_channels=16,
+        with_backbone_3d=True, with_depth_head=True,
+        depth_min=1.0, depth_max=8.0, depth_num_bins=8,
+        depth_downsample=4,
+        voxel_range=(-8, -8, -1, 8, 8, 3), voxel_grid=(4, 16, 16),
+        anchor_ranges=((-8, -8, 0.0, 8, 8, 0.0),) * 3,
+        backbone_depth=50, nms_pre=128, max_num=8)
+    model = MultiViewDfM(cfg=cfg)
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randn(B, 1, V, H, W, 3).astype(np.float32))
+    l2i = _mk_l2i()[:, :1]
+    variables = model.init(jax.random.PRNGKey(0), imgs, l2i, (H, W))
+    outs = model.apply(variables, imgs, l2i, (H, W))
+    d_out = cfg.depth_num_bins // cfg.depth_downsample
+    assert outs['depth_cost'].shape == (B * V, d_out, H // 4, W // 4)
+    assert np.isfinite(np.asarray(outs['depth_cost'])).all()
+
+    gen = cfg.anchor_generator()
+    nz, ny, nx = cfg.voxel_grid
+    grid = gen.grid_anchors((ny, nx))
+    a = grid[0, ny // 2, nx // 2, 0, 0]
+    gt = np.concatenate([a[:6], [0.0]]).astype(np.float32)
+    batch = dict(
+        gt_boxes=jnp.asarray(gt)[None, None],
+        gt_labels=jnp.zeros((B, 1), jnp.int32),
+        gt_mask=jnp.ones((B, 1), bool),
+        depth_img=jnp.asarray(
+            rng.rand(B, V, H, W).astype(np.float32) * 6 + 1.5))
+    total, losses = mvdfm_loss(outs, batch, cfg,
+                               rng=jax.random.PRNGKey(1))
+    assert 'loss_dense_depth' in losses
+    assert np.isfinite(float(total))

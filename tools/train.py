@@ -31,6 +31,10 @@ def parse_args():
     p.add_argument('--eval-samples', type=int, default=None,
                    help='cap val samples per eval (debug)')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--profile-steps', type=int, default=0,
+                   help='capture a jax.profiler trace over the first N '
+                        'steps (view in TensorBoard / xprof)')
+    p.add_argument('--no-tensorboard', action='store_true')
     return p.parse_args()
 
 
@@ -156,6 +160,10 @@ def main():
             if '3d_moderate' in k:
                 print(f'[eval] {k}: {res[k]:.4f}', flush=True)
 
+    from dfm_tpu.runtime.logging import MetricsLogger, profile_trace
+    logger = MetricsLogger(args.work_dir,
+                           use_tensorboard=not args.no_tensorboard)
+
     with mesh:
         state = replicate(state, mesh)
         key = jax.random.PRNGKey(args.seed)
@@ -164,6 +172,10 @@ def main():
         order = rng.permutation(len(ds))
         cursor = 0
         max_steps = args.max_steps or total_steps
+        profiling = args.profile_steps > 0
+        prof_ctx = profile_trace(args.work_dir, enabled=profiling)
+        if profiling:
+            prof_ctx.__enter__()
         while step < max_steps:
             idxs = []
             while len(idxs) < batch_size:
@@ -177,11 +189,18 @@ def main():
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
             step += 1
+            if profiling and step - start_step >= args.profile_steps:
+                jax.block_until_ready(metrics)
+                prof_ctx.__exit__(None, None, None)
+                profiling = False
+                print(f'profile trace saved to {args.work_dir}/profile')
             if step % cfg.schedule.log_interval == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
+                m['s_per_iter'] = dt / max(step - start_step, 1)
+                logger.log(step, m)
                 print(f'step {step}/{max_steps} '
-                      f'({dt / max(step - start_step, 1):.2f}s/it) ' +
+                      f'({m["s_per_iter"]:.2f}s/it) ' +
                       ' '.join(f'{k}={v:.4f}' for k, v in m.items()),
                       flush=True)
             if step % (cfg.checkpoint.interval_epochs *
@@ -191,6 +210,7 @@ def main():
                            steps_per_epoch) == 0:
                     run_eval(state)
         ckpt.save(step, jax.device_get(state), force=True)
+    logger.close()
     print('training done')
 
 
