@@ -45,6 +45,10 @@ class MVDfMConfig:
     # neck_3d selection: 'imvoxel' (camsync config) or 'dfm' (10-sweeps
     # config, requires frame_fusion='concat'; reference dfm_neck.py)
     neck_3d: str = 'imvoxel'
+    # 3D head: 'anchor' (Anchor3DHead, shipped configs) or 'center'
+    # (CenterHead branch, reference multiview_dfm.py:280-285,332-336)
+    bbox_head: str = 'anchor'
+    center_tasks: Tuple[Tuple[int, ...], ...] = ((0,), (1, 2))
     # optional stereo path (reference multiview_dfm.py:210-256): a 3D
     # backbone over the volume + voxel_sample frustum re-projection
     # feeding a dense depth head. Off in both shipped configs
@@ -216,6 +220,18 @@ class MultiViewDfM(nn.Module):
                                      out_channels=256, norm='bn',
                                      dtype=self.dtype,
                                      name='neck_3d')(vol, train)
+        if cfg.bbox_head == 'center':
+            from ..heads.center_head import CenterHead, CenterHeadConfig
+            ch_cfg = CenterHeadConfig(
+                tasks=tuple(tuple(str(c) for c in t)
+                            for t in cfg.center_tasks),
+                voxel_size=((cfg.voxel_range[3] - cfg.voxel_range[0]) / nx,
+                            (cfg.voxel_range[4] - cfg.voxel_range[1]) / ny),
+                pc_range=(cfg.voxel_range[0], cfg.voxel_range[1]))
+            task_outs = CenterHead(cfg=ch_cfg, norm='bn', dtype=self.dtype,
+                                   name='bbox_head_3d')(bev, train)
+            out.update(task_outs=task_outs, bev_feat=bev, volume_feat=vol)
+            return out
         head = LIGAAnchor3DHead(
             num_classes=cfg.num_classes, feat_channels=256, num_convs=0,
             num_anchors=len(cfg.anchor_sizes) * len(cfg.anchor_rotations),
@@ -236,7 +252,23 @@ def _mv_anchors(cfg: MVDfMConfig, featmap_size):
     return per_class, jnp.asarray(grid.reshape(-1, 7))
 
 
+def _center_cfg(cfg: MVDfMConfig, ny, nx):
+    from ..heads.center_head import CenterHeadConfig
+    return CenterHeadConfig(
+        tasks=tuple(tuple(str(c) for c in t) for t in cfg.center_tasks),
+        voxel_size=((cfg.voxel_range[3] - cfg.voxel_range[0]) / nx,
+                    (cfg.voxel_range[4] - cfg.voxel_range[1]) / ny),
+        pc_range=(cfg.voxel_range[0], cfg.voxel_range[1]))
+
+
 def mvdfm_loss(outputs, batch, cfg: MVDfMConfig, rng=None, axis_name=None):
+    if 'task_outs' in outputs:
+        from ..heads.center_head import center_head_loss
+        ny, nx = outputs['bev_feat'].shape[1:3]
+        losses = center_head_loss(
+            outputs['task_outs'], batch, _center_cfg(cfg, ny, nx),
+            cfg.center_tasks)
+        return sum(losses.values()), losses
     ny, nx = outputs['cls_score'].shape[1:3]
     per_class, _ = _mv_anchors(cfg, (ny, nx))
     losses = anchor3d_head_loss(
@@ -270,6 +302,12 @@ def mvdfm_loss(outputs, batch, cfg: MVDfMConfig, rng=None, axis_name=None):
 
 
 def mvdfm_predict(outputs, cfg: MVDfMConfig):
+    if 'task_outs' in outputs:
+        from ..heads.center_head import center_head_decode
+        ny, nx = outputs['bev_feat'].shape[1:3]
+        return center_head_decode(outputs['task_outs'],
+                                  _center_cfg(cfg, ny, nx),
+                                  cfg.center_tasks)
     ny, nx = outputs['cls_score'].shape[1:3]
     _, flat = _mv_anchors(cfg, (ny, nx))
     return anchor3d_head_get_bboxes(
