@@ -18,8 +18,91 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.band_volume import (band_add, band_conv3, band_from_const,
+                                band_gn, band_relu, band_to_dense,
+                                dual_conv3)
 from ...ops.cost_volume import build_plane_sweep_cost
 from ..layers import ConvNorm, Hourglass
+
+
+class _ConvKernel(nn.Module):
+    """Parameter holder matching Conv3DSum's tree ({'kernel'})."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _GNParams(nn.Module):
+    """Parameter holder matching nn.GroupNorm's tree ({'scale','bias'})."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param('scale', nn.initializers.ones,
+                           (self.features,), jnp.float32),
+                self.param('bias', nn.initializers.zeros,
+                           (self.features,), jnp.float32))
+
+
+def _gn_groups(c, groups):
+    # mirror layers.apply_norm group selection
+    return groups if c % groups == 0 and c >= groups else c
+
+
+class BandConvNorm(nn.Module):
+    """ConvNorm(3^3, GN) on a depth-banded volume (exact D-constant
+    shortcut; see ops/band_volume.py). Parameter tree is identical to
+    `ConvNorm` with a 3D kernel + GroupNorm ('Conv_0/kernel',
+    'GroupNorm_0/{scale,bias}'), so checkpoints are interchangeable
+    with the dense path."""
+    features: int
+    groups: int = 32
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, bv):
+        cin = bv.interior.shape[-1]
+        kernel = _ConvKernel((3, 3, 3, cin, self.features),
+                             name='Conv_0')()
+        bv = bv._replace(interior=bv.interior.astype(self.dtype),
+                         lo=bv.lo.astype(self.dtype),
+                         hi=bv.hi.astype(self.dtype))
+        bv = band_conv3(bv, kernel)
+        scale, bias = _GNParams(self.features, name='GroupNorm_0')()
+        bv = band_gn(bv, scale.astype(self.dtype), bias.astype(self.dtype),
+                     _gn_groups(self.features, self.groups))
+        return band_relu(bv) if self.act else bv
+
+
+class DualConvNorm(nn.Module):
+    """ConvNorm(3^3, GN) on [cur_broadcast || prev] without materializing
+    the D-constant cur half (ops/band_volume.py:dual_conv3). Same
+    parameter tree as `ConvNorm`; returns a dense volume."""
+    features: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cur2d, prev_vol, train: bool = False):
+        cin = cur2d.shape[-1] + prev_vol.shape[-1]
+        kernel = _ConvKernel((3, 3, 3, cin, self.features),
+                             name='Conv_0')()
+        x = dual_conv3(cur2d.astype(self.dtype),
+                       prev_vol.astype(self.dtype),
+                       kernel.astype(self.dtype))
+        scale, bias = _GNParams(self.features, name='GroupNorm_0')()
+        g = _gn_groups(self.features, self.groups)
+        b = x.shape[0]
+        xx = x.reshape(b, -1, g, self.features // g).astype(jnp.float32)
+        mean = xx.mean(axis=(1, 3), keepdims=True)
+        var = ((xx - mean) ** 2).mean(axis=(1, 3), keepdims=True)
+        xx = (xx - mean) * jax.lax.rsqrt(var + 1e-5)
+        x = (xx.reshape(x.shape) * scale + bias).astype(self.dtype)
+        return nn.relu(x)
 
 
 class Conv3DScalar(nn.Module):
@@ -79,6 +162,10 @@ class DfMBackbone(nn.Module):
     num_depth_bins_out: int = 72   # num_bins // depth downsample factor
     norm: str = 'gn'
     dtype: Any = jnp.float32
+    # exact D-constant shortcut for the cur half of the volume (the dres
+    # stages run banded, ~6x fewer conv FLOPs on the mono stem); same
+    # parameter tree as the dense path — False forces dense (tests)
+    use_band: bool = True
 
     @nn.compact
     def __call__(self,
@@ -95,20 +182,11 @@ class DfMBackbone(nn.Module):
         """Args mirror `build_plane_sweep_cost`; returns
         (mono_stereo_cost (B,D,H',W',1), stereo_feats (B,D,H',W',Cv),
         mono_feats (B,D,H',W',Cv))."""
-        cost_raw = build_plane_sweep_cost(
-            cur_stereo_feats, prev_stereo_feats, depths, cam2img, cur2prev,
-            cost_sample_factor=self.cost_sample_factor,
-            feat_sample_factor=self.feat_sample_factor,
-            org_w=org_w, flip=flip, crop_offset=crop_offset,
-            scale_factor=scale_factor).astype(self.dtype)
+        csf = self.cost_sample_factor
+        banded = (self.use_band and self.norm == 'gn'
+                  and float(csf) == float(int(csf)))
 
-        def branch(x, tag):
-            c0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
-                          dtype=self.dtype, name=f'dres0_{tag}')(x, train)
-            c0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
-                          act=False, dtype=self.dtype,
-                          name=f'dres1_{tag}')(c0, train) + c0
-            cur = c0
+        def hg_stack(cur, tag):
             for i in range(self.num_hg):
                 res, _, _ = Hourglass(self.cv_channels, ndim=3,
                                       norm=self.norm, dtype=self.dtype,
@@ -116,8 +194,47 @@ class DfMBackbone(nn.Module):
                 cur = cur + res
             return cur
 
-        stereo_feats = branch(cost_raw, 'stereo')
-        mono_feats = branch(cost_raw[..., :self.in_channels], 'mono')
+        if banded:
+            cur2d, prev_vol = build_plane_sweep_cost(
+                cur_stereo_feats, prev_stereo_feats, depths, cam2img,
+                cur2prev, cost_sample_factor=csf,
+                feat_sample_factor=self.feat_sample_factor,
+                org_w=org_w, flip=flip, crop_offset=crop_offset,
+                scale_factor=scale_factor, split=True)
+            cur2d = cur2d.astype(self.dtype)
+            prev_vol = prev_vol.astype(self.dtype)
+            d = prev_vol.shape[1]
+            # stereo stem: conv of [cur_bcast || prev] without the bcast
+            s0 = DualConvNorm(self.cv_channels, dtype=self.dtype,
+                              name='dres0_stereo')(cur2d, prev_vol)
+            s0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
+                          act=False, dtype=self.dtype,
+                          name='dres1_stereo')(s0, train) + s0
+            stereo_feats = hg_stack(s0, 'stereo')
+            # mono stem: fully banded (input is D-constant)
+            m0 = BandConvNorm(self.cv_channels, dtype=self.dtype,
+                              name='dres0_mono')(band_from_const(cur2d, d))
+            m1 = BandConvNorm(self.cv_channels, act=False, dtype=self.dtype,
+                              name='dres1_mono')(m0)
+            mono_feats = hg_stack(band_to_dense(band_add(m1, m0)), 'mono')
+        else:
+            cost_raw = build_plane_sweep_cost(
+                cur_stereo_feats, prev_stereo_feats, depths, cam2img,
+                cur2prev, cost_sample_factor=csf,
+                feat_sample_factor=self.feat_sample_factor,
+                org_w=org_w, flip=flip, crop_offset=crop_offset,
+                scale_factor=scale_factor).astype(self.dtype)
+
+            def branch(x, tag):
+                c0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
+                              dtype=self.dtype, name=f'dres0_{tag}')(x, train)
+                c0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
+                              act=False, dtype=self.dtype,
+                              name=f'dres1_{tag}')(c0, train) + c0
+                return hg_stack(c0, tag)
+
+            stereo_feats = branch(cost_raw, 'stereo')
+            mono_feats = branch(cost_raw[..., :self.in_channels], 'mono')
 
         # depth cost prediction + sigmoid gate fusion
         stereo_cost = DepthPredModule(self.cv_channels, self.norm, self.dtype,

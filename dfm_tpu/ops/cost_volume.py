@@ -101,7 +101,8 @@ def build_plane_sweep_cost(cur_feats,
                            org_w=None,
                            flip=None,
                            crop_offset=None,
-                           scale_factor=None):
+                           scale_factor=None,
+                           split=False):
     """Plane-sweep cost volume.
 
     Args:
@@ -114,7 +115,11 @@ def build_plane_sweep_cost(cur_feats,
             {0, 1}; crop_offset: (B, 2); scale_factor: (B,).
 
     Returns:
-        (B, D, H', W', 2C) cost volume (cur || prev along channels).
+        (B, D, H', W', 2C) cost volume (cur || prev along channels), or —
+        with `split=True` (requires integer cost_sample_factor) — the
+        pair (cur2d (B, H', W', C), prev (B, D, H', W', C)) without ever
+        materializing the D-constant cur broadcast (the dres stages
+        consume it banded, see ops/band_volume.py).
     """
     b = cur_feats.shape[0]
     if org_w is None:
@@ -140,6 +145,9 @@ def build_plane_sweep_cost(cur_feats,
     # along D; only the prev frame needs real gathers.
     csf = cost_sample_factor
     slice_cur = float(csf) == float(int(csf))
+    if split and not slice_cur:
+        raise ValueError('split=True needs an integer cost_sample_factor '
+                         '(cur sample must be a pure slice)')
 
     def single(cur_f, prev_f, c2i, c2p, ow, fl, co, sf):
         cur_grid, prev_grid = plane_sweep_grids(
@@ -147,8 +155,11 @@ def build_plane_sweep_cost(cur_feats,
             feat_sample_factor, ow, fl, co, sf)
         # tap-packed gather: one wide row fetch per query (prev frame)
         prev_s = packed_bilinear_sample(pack_taps_2d(prev_f), prev_grid, c)
+        h_out, w_out = prev_grid.shape[1:3]
+        if split:
+            return cur_f[:h_out * int(csf):int(csf),
+                         :w_out * int(csf):int(csf)], prev_s
         if slice_cur:
-            h_out, w_out = prev_grid.shape[1:3]
             cur_s = jnp.broadcast_to(
                 cur_f[:h_out * int(csf):int(csf),
                       :w_out * int(csf):int(csf)][None],
