@@ -24,3 +24,12 @@ from .heads.atss2d import ATSS2DConfig, ATSS2DHead, atss2d_loss, atss_assign
 from .detectors.voxelnet import (VoxelNet, VoxelNetConfig, voxelnet_loss,
                                  voxelnet_predict)
 from .detectors.dfm_full import DfMFull, dfm_full_loss
+from .backbones.second import SECOND
+from .necks.second_fpn import SECONDFPN
+from .detectors.dynamic_voxelnet import (DynamicVoxelNet,
+                                         DynamicVoxelNetConfig)
+from .detectors.centerpoint import (CenterPoint, CenterPointConfig,
+                                    centerpoint_loss, centerpoint_predict)
+from .detectors.pgd_mono3d import (PGDMono3D, pgd_mono3d_loss,
+                                   pgd_mono3d_predict)
+from .builder import DetectorHandle, build_detector, detector_types

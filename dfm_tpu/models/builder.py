@@ -1,0 +1,168 @@
+"""Detector builder: config dict -> (module, loss, predict).
+
+Equivalent of the reference's registry `build_detector`
+(mmdet3d/models/builder.py + DETECTORS registry): every detector in
+the zoo is constructible from a plain `model = dict(type=..., ...)`
+config (runtime/config.py loads those), giving tools/ and tests one
+uniform entry point. Config-dict keys are matched to the detector
+config dataclass's fields; nested dataclass fields (e.g. CenterPoint's
+`head`) accept nested dicts.
+"""
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax.numpy as jnp
+
+__all__ = ['DetectorHandle', 'build_detector', 'detector_types']
+
+
+class DetectorHandle(NamedTuple):
+    type: str
+    module: Any          # flax nn.Module, ready to init/apply
+    cfg: Any             # the detector's config dataclass
+    loss_fn: Callable    # detector-specific signature (see each module)
+    predict_fn: Callable
+
+
+def _mk_cfg(cls, d):
+    """Build dataclass `cls` from dict `d`, ignoring unknown keys and
+    recursing into dataclass-typed fields."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        f = fields[k]
+        if isinstance(v, dict) and dataclasses.is_dataclass(f.type):
+            v = _mk_cfg(f.type, v)
+        elif isinstance(v, dict) and f.default_factory is not \
+                dataclasses.MISSING and dataclasses.is_dataclass(
+                    f.default_factory):
+            v = _mk_cfg(f.default_factory, v)
+        elif isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def _build_dfm(mc, dtype):
+    from .detectors.dfm import DfM, DfMConfig, dfm_loss, dfm_predict
+    cfg = _mk_cfg(DfMConfig, mc)
+    return DfM(cfg=cfg, dtype=dtype), cfg, dfm_loss, dfm_predict
+
+
+def _build_dfm_full(mc, dtype):
+    from .detectors.dfm import DfMConfig, dfm_predict
+    from .detectors.dfm_full import DfMFull, dfm_full_loss
+    from .heads.atss2d import ATSS2DConfig
+    cfg = _mk_cfg(DfMConfig, mc)
+    atss = _mk_cfg(ATSS2DConfig, mc.get('atss', {}))
+    return (DfMFull(cfg=cfg, atss_cfg=atss, dtype=dtype), cfg,
+            dfm_full_loss, dfm_predict)
+
+
+def _build_mvdfm(mc, dtype):
+    from .detectors.multiview_dfm import (MultiViewDfM, MVDfMConfig,
+                                          mvdfm_loss, mvdfm_predict)
+    cfg = _mk_cfg(MVDfMConfig, mc)
+    return MultiViewDfM(cfg=cfg, dtype=dtype), cfg, mvdfm_loss, mvdfm_predict
+
+
+def _build_fcos3d(mc, dtype):
+    from .detectors.fcos_mono3d import (FCOSMono3D, fcos_mono3d_loss,
+                                        fcos_mono3d_predict)
+    from .heads.fcos_mono3d import FCOS3DConfig
+    cfg = _mk_cfg(FCOS3DConfig, mc)
+    return (FCOSMono3D(cfg=cfg,
+                       backbone_depth=mc.get('backbone_depth', 101),
+                       dtype=dtype),
+            cfg, fcos_mono3d_loss, fcos_mono3d_predict)
+
+
+def _build_pgd(mc, dtype):
+    from .detectors.pgd_mono3d import (PGDMono3D, pgd_mono3d_loss,
+                                       pgd_mono3d_predict)
+    from .heads.pgd import PGDConfig
+    cfg = _mk_cfg(PGDConfig, mc)
+    return (PGDMono3D(cfg=cfg,
+                      backbone_depth=mc.get('backbone_depth', 101),
+                      dtype=dtype),
+            cfg, pgd_mono3d_loss, pgd_mono3d_predict)
+
+
+def _build_smoke(mc, dtype):
+    from .detectors.smoke import (SMOKEConfig, SMOKEMono3D, smoke_loss,
+                                  smoke_predict)
+    cfg = _mk_cfg(SMOKEConfig, mc)
+    return SMOKEMono3D(cfg=cfg, dtype=dtype), cfg, smoke_loss, smoke_predict
+
+
+def _build_imvoxelnet(mc, dtype):
+    from .detectors.imvoxelnet import (ImVoxelNet, ImVoxelNetConfig,
+                                       imvoxelnet_loss, imvoxelnet_predict)
+    cfg = _mk_cfg(ImVoxelNetConfig, mc)
+    return (ImVoxelNet(cfg=cfg, dtype=dtype), cfg, imvoxelnet_loss,
+            imvoxelnet_predict)
+
+
+def _build_voxelnet(mc, dtype):
+    from .detectors.voxelnet import (VoxelNet, VoxelNetConfig,
+                                     voxelnet_loss, voxelnet_predict)
+    cfg = _mk_cfg(VoxelNetConfig, mc)
+    return (VoxelNet(cfg=cfg, dtype=dtype), cfg, voxelnet_loss,
+            voxelnet_predict)
+
+
+def _build_dynamic_voxelnet(mc, dtype):
+    from .detectors.dynamic_voxelnet import (DynamicVoxelNet,
+                                             DynamicVoxelNetConfig,
+                                             dynamic_voxelnet_loss,
+                                             dynamic_voxelnet_predict)
+    cfg = _mk_cfg(DynamicVoxelNetConfig, mc)
+    return (DynamicVoxelNet(cfg=cfg, dtype=dtype), cfg,
+            dynamic_voxelnet_loss, dynamic_voxelnet_predict)
+
+
+def _build_centerpoint(mc, dtype):
+    from .detectors.centerpoint import (CenterPoint, CenterPointConfig,
+                                        centerpoint_loss,
+                                        centerpoint_predict)
+    cfg = _mk_cfg(CenterPointConfig, mc)
+    return (CenterPoint(cfg=cfg, dtype=dtype), cfg, centerpoint_loss,
+            centerpoint_predict)
+
+
+_BUILDERS = {
+    'DfM': _build_dfm,
+    'DfMFull': _build_dfm_full,
+    'MultiViewDfM': _build_mvdfm,
+    'FCOSMono3D': _build_fcos3d,
+    'PGD': _build_pgd,
+    'SMOKEMono3D': _build_smoke,
+    'ImVoxelNet': _build_imvoxelnet,
+    'VoxelNet': _build_voxelnet,
+    'DynamicVoxelNet': _build_dynamic_voxelnet,
+    'CenterPoint': _build_centerpoint,
+}
+
+
+def detector_types():
+    return sorted(_BUILDERS)
+
+
+def build_detector(model_cfg, dtype=None):
+    """model_cfg: dict with 'type' plus config fields (see each
+    detector's Config dataclass). An optional 'dtype' key (e.g.
+    'bfloat16' — the fp16 configs' TPU analog) sets the compute dtype;
+    the `dtype` argument overrides it. Returns a DetectorHandle."""
+    mc = dict(model_cfg)
+    t = mc.pop('type')
+    cfg_dtype = mc.pop('dtype', None)
+    if dtype is None:
+        dtype = jnp.dtype(cfg_dtype).type if cfg_dtype else jnp.float32
+    if t not in _BUILDERS:
+        raise KeyError(f'unknown detector type {t!r}; known: '
+                       f'{detector_types()}')
+    module, cfg, loss_fn, predict_fn = _BUILDERS[t](mc, dtype)
+    return DetectorHandle(t, module, cfg, loss_fn, predict_fn)

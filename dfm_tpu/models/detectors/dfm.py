@@ -105,6 +105,9 @@ class DfMConfig:
         dict(pos_iou_thr=0.5, neg_iou_thr=0.35, min_pos_iou=0.35),
         dict(pos_iou_thr=0.5, neg_iou_thr=0.35, min_pos_iou=0.35))
     normalizer_clamp_value: float = 10.0
+    # cross-replica (pmean) averaging of loss normalizers; False =
+    # local normalization (reference *_wodistnorm.py config)
+    dist_norm: bool = True
     depth_loss: Any = dataclasses.field(default_factory=lambda: dict(
         type='balanced_focal', loss_weight=1.0, fg_weight=5, bg_weight=1,
         alpha=1, gamma=2))
@@ -263,6 +266,8 @@ def dfm_loss(outputs, batch, cfg: DfMConfig, rng, axis_name=None):
     Returns:
         (total, dict of scalars).
     """
+    if not cfg.dist_norm:
+        axis_name = None    # local normalizers (wodistnorm config)
     ny, nx = outputs['cls_score'].shape[1:3]
     anchors_per_class, _ = _anchors_per_class(cfg, (ny, nx))
     losses = anchor3d_head_loss(

@@ -29,7 +29,8 @@ from ..backbones.bev_hourglass import BEVHourglass
 from ..layers import ConvNorm
 
 
-def voxelize_mean(points, point_mask, pcr, voxel_size, grid_size):
+def voxelize_mean(points, point_mask, pcr, voxel_size, grid_size,
+                  max_points=None):
     """Scatter-mean point features onto a dense voxel grid.
 
     Args:
@@ -38,13 +39,18 @@ def voxelize_mean(points, point_mask, pcr, voxel_size, grid_size):
         pcr: point-cloud range (6,).
         voxel_size: (vx, vy, vz).
         grid_size: (Nz, Ny, Nx).
+        max_points: per-voxel point cap. None averages ALL points in a
+            voxel (the reference's *dynamic* voxelization +
+            DynamicSimpleVFE, mmdet3d voxelize.py / DynamicVoxelNet);
+            an int keeps only the first `max_points` points per voxel
+            (hard Voxelization + HardSimpleVFE — SECOND uses 5).
 
     Returns:
         (Nz, Ny, Nx, C) mean features (0 where empty),
         (Nz, Ny, Nx) counts.
 
-    Replaces mmcv `Voxelization` + `HardSimpleVFE` (mean of points)
-    with a segment-scatter — fixed shapes, fully on-device.
+    Replaces mmcv `Voxelization` + `(Hard|Dynamic)SimpleVFE` with a
+    segment-scatter — fixed shapes, fully on-device.
     """
     nz, ny, nx = grid_size
     ix = jnp.floor((points[:, 0] - pcr[0]) / voxel_size[0]).astype(jnp.int32)
@@ -55,6 +61,23 @@ def voxelize_mean(points, point_mask, pcr, voxel_size, grid_size):
     flat = (iz * ny + iy) * nx + ix
     flat = jnp.where(inside, flat, nz * ny * nx)  # dump slot
     num = nz * ny * nx + 1
+    if max_points is not None:
+        # rank of each point within its voxel (arrival order): stable
+        # sort by voxel id, then position minus segment start
+        p = points.shape[0]
+        order = jnp.argsort(flat, stable=True)
+        sorted_flat = flat[order]
+        pos = jnp.arange(p)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_flat[1:] != sorted_flat[:-1]])
+        seg_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_start, pos, 0))
+        rank_sorted = pos - seg_start
+        rank = jnp.zeros((p,), jnp.int32).at[order].set(
+            rank_sorted.astype(jnp.int32))
+        keep = rank < max_points
+        inside = inside & keep
+        flat = jnp.where(inside, flat, nz * ny * nx)
     feats = jnp.where(inside[:, None], points, 0.0)
     sums = jax.ops.segment_sum(feats, flat, num_segments=num)
     cnts = jax.ops.segment_sum(inside.astype(jnp.float32), flat,
@@ -72,7 +95,8 @@ class LidarTeacher(nn.Module):
     pool_z: int = 4                      # to the DfM volume z resolution
     volume_channels: int = 32
     bev_channels: int = 64
-    dtype: Any = jnp.float32
+    max_points: Any = None               # per-voxel cap (hard VFE); None
+    dtype: Any = jnp.float32             # = dynamic (all points)
 
     def grid_size(self):
         pcr = np.asarray(self.point_cloud_range, np.float32)
@@ -93,8 +117,9 @@ class LidarTeacher(nn.Module):
         gs = self.grid_size()
         vox, cnt = jax.vmap(
             lambda p, m: voxelize_mean(p, m, self.point_cloud_range,
-                                       self.voxel_size, gs))(points,
-                                                             point_mask)
+                                       self.voxel_size, gs,
+                                       max_points=self.max_points)
+        )(points, point_mask)
         x = jnp.concatenate(
             [vox, (cnt > 0).astype(vox.dtype)[..., None]],
             axis=-1).astype(self.dtype)

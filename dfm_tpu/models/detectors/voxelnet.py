@@ -24,8 +24,9 @@ from .teacher import LidarTeacher
 @dataclasses.dataclass(frozen=True)
 class VoxelNetConfig(DfMConfig):
     """Anchor/assigner/test settings are inherited from DfMConfig
-    (same KITTI 3-class setup)."""
-    pass
+    (same KITTI 3-class setup). `max_points_per_voxel` selects hard
+    voxelization (SECOND: 5); None = dynamic (DynamicVoxelNet)."""
+    max_points_per_voxel: Any = None
 
 
 class VoxelNet(nn.Module):
@@ -40,6 +41,7 @@ class VoxelNet(nn.Module):
             voxel_size=cfg.voxel_size,
             volume_channels=cfg.cv_channels,
             bev_channels=cfg.bev_channels,
+            max_points=cfg.max_points_per_voxel,
             dtype=self.dtype, name='encoder')(points, point_mask, train)
         head = LIGAAnchor3DHead(
             num_classes=cfg.num_classes, feat_channels=cfg.bev_channels,
