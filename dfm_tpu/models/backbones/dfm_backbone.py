@@ -17,12 +17,14 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.band_volume import (band_add, band_conv3, band_from_const,
                                 band_gn, band_relu, band_to_dense,
                                 dual_conv3)
 from ...ops.cost_volume import build_plane_sweep_cost
-from ..layers import ConvNorm, Hourglass
+from ...ops.reduced_depth import make_reduced_plan
+from ..layers import Conv3DSum, ConvNorm, Hourglass
 
 
 class _ConvKernel(nn.Module):
@@ -126,16 +128,131 @@ class Conv3DScalar(nn.Module):
         # the shifted adds below slice leading/sublane axes instead of
         # extracting single lanes (which forces a relayout per tap)
         t = jnp.einsum('tc,bdhwc->tbdhw', kt, x.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32
+                       ).astype(self.dtype)   # store taps at compute
+        # width: halves the HBM traffic of the 27-slab reduce below
         # out[p] = sum_t w_t . x[p + t - 1]  =  sum_t T[t, p + t - 1]
         tp = jnp.pad(t, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
         tp = jax.lax.optimization_barrier(tp)
-        out = 0.
+        out = jnp.zeros((b, d, h, w), jnp.float32)
         for i, (dz, dy, dx) in enumerate(
                 (dz, dy, dx) for dz in range(3) for dy in range(3)
                 for dx in range(3)):
-            out = out + tp[i, :, dz:dz + d, dy:dy + h, dx:dx + w]
+            out = out + tp[i, :, dz:dz + d, dy:dy + h,
+                           dx:dx + w].astype(jnp.float32)
         return out[..., None].astype(self.dtype)
+
+
+def _assemble_reduced(bv, plan):
+    """BandVol -> reduced dense volume [lo | interior x k | hi]."""
+    b, h, w, c = bv.interior.shape
+    e = bv.lo.shape[1]
+    mid = jnp.broadcast_to(bv.interior[:, None],
+                           (b, plan.dr - 2 * e, h, w, c))
+    return jnp.concatenate([bv.lo, mid, bv.hi], axis=1)
+
+
+def _weighted_gn(x, mult, scale, bias, num_groups, dtype, eps=1e-5):
+    """GroupNorm whose statistics weight each depth slice by its
+    full-volume multiplicity (ops/reduced_depth.py): bit-equal to GN on
+    the expanded volume in f32 accumulation."""
+    b, d, h, w, c = x.shape
+    g = num_groups
+    xx = x.reshape(b, d, h * w, g, c // g).astype(jnp.float32)
+    m = jnp.asarray(mult, jnp.float32)[None, :, None, None, None]
+    cnt = float(np.sum(mult)) * h * w * (c // g)
+    s = (xx * m).sum(axis=(1, 2, 4), keepdims=True)
+    s2 = (xx * xx * m).sum(axis=(1, 2, 4), keepdims=True)
+    mean = s / cnt
+    var = s2 / cnt - mean ** 2
+    xx = (xx - mean) * jax.lax.rsqrt(var + eps)
+    xx = xx.reshape(x.shape)
+    return (xx * scale + bias).astype(dtype)
+
+
+class RedConvNorm(nn.Module):
+    """ConvNorm(3D, GN) on a reduced-depth volume: plain conv + the
+    multiplicity-weighted GN. Same parameter tree as ConvNorm."""
+    features: int
+    strides: tuple = (1, 1, 1)
+    groups: int = 32
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mult, train: bool = False):
+        x = Conv3DSum(self.features, (3, 3, 3), self.strides,
+                      dtype=self.dtype, name='Conv_0')(x)
+        scale, bias = _GNParams(self.features, name='GroupNorm_0')()
+        x = _weighted_gn(x, mult, scale, bias,
+                         _gn_groups(self.features, self.groups),
+                         self.dtype)
+        return nn.relu(x) if self.act else x
+
+
+class RedConvTransposeNorm(nn.Module):
+    """ConvTransposeNorm (2x up, torch k3/s2/p1/op1) with weighted GN.
+    Same parameter tree as ConvTransposeNorm."""
+    features: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mult, train: bool = False):
+        x = nn.ConvTranspose(self.features, (3, 3, 3), strides=(2, 2, 2),
+                             padding=[(1, 2)] * 3, use_bias=False,
+                             dtype=self.dtype,
+                             name='ConvTranspose_0')(x)
+        scale, bias = _GNParams(self.features, name='GroupNorm_0')()
+        return _weighted_gn(x, mult, scale, bias,
+                            _gn_groups(self.features, self.groups),
+                            self.dtype)
+
+
+class RedHourglass(nn.Module):
+    """3D Hourglass on a reduced-depth volume (presqu/postsqu=None
+    case). Same parameter tree as `Hourglass` (models/layers.py)."""
+    features: int
+    groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, plan, train: bool = False):
+        c2 = self.features * 2
+        m0, m1, m2 = plan.mult(0), plan.mult(1), plan.mult(2)
+        out = RedConvNorm(c2, strides=(2, 2, 2), groups=self.groups,
+                          dtype=self.dtype, name='ConvNorm_0')(
+                              x, m1, train)
+        pre = RedConvNorm(c2, groups=self.groups, act=False,
+                          dtype=self.dtype, name='ConvNorm_1')(
+                              out, m1, train)
+        pre = nn.relu(pre)
+        out = RedConvNorm(c2, strides=(2, 2, 2), groups=self.groups,
+                          dtype=self.dtype, name='ConvNorm_2')(
+                              pre, m2, train)
+        out = RedConvNorm(c2, groups=self.groups, dtype=self.dtype,
+                          name='ConvNorm_3')(out, m2, train)
+        post = RedConvTransposeNorm(c2, self.groups, self.dtype,
+                                    name='ConvTransposeNorm_0')(
+                                        out, m1, train)
+        post = nn.relu(post + pre)
+        out = RedConvTransposeNorm(self.features, self.groups, self.dtype,
+                                   name='ConvTransposeNorm_1')(
+                                       post, m0, train)
+        return out
+
+
+class RedDepthPredModule(nn.Module):
+    """DepthPredModule on a reduced-depth volume. Same parameter tree
+    as DepthPredModule (ConvNorm_0 + Conv_0)."""
+    cv_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, plan, train: bool = False):
+        x = RedConvNorm(self.cv_channels, dtype=self.dtype,
+                        name='ConvNorm_0')(x, plan.mult(0), train)
+        return Conv3DScalar(dtype=self.dtype, name='Conv_0')(x)
 
 
 class DepthPredModule(nn.Module):
@@ -216,7 +333,21 @@ class DfMBackbone(nn.Module):
                               name='dres0_mono')(band_from_const(cur2d, d))
             m1 = BandConvNorm(self.cv_channels, act=False, dtype=self.dtype,
                               name='dres1_mono')(m0)
-            mono_feats = hg_stack(band_to_dense(band_add(m1, m0)), 'mono')
+            mono_band = band_add(m1, m0)
+            # hourglass + pred on a reduced-depth volume (exact: see
+            # ops/reduced_depth.py); falls back to dense for short D
+            mono_plan = make_reduced_plan(d, e=mono_band.lo.shape[1]) \
+                if self.num_hg == 1 else None
+            if mono_plan is not None:
+                red = _assemble_reduced(mono_band, mono_plan)
+                res = RedHourglass(self.cv_channels, dtype=self.dtype,
+                                   name='hg_mono_0')(red, mono_plan,
+                                                     train=train)
+                mono_red = red + res
+                mono_feats = mono_red[:, mono_plan.expand_idx]
+            else:
+                mono_red = None
+                mono_feats = hg_stack(band_to_dense(mono_band), 'mono')
         else:
             cost_raw = build_plane_sweep_cost(
                 cur_stereo_feats, prev_stereo_feats, depths, cam2img,
@@ -235,12 +366,20 @@ class DfMBackbone(nn.Module):
 
             stereo_feats = branch(cost_raw, 'stereo')
             mono_feats = branch(cost_raw[..., :self.in_channels], 'mono')
+            mono_red = mono_plan = None
 
         # depth cost prediction + sigmoid gate fusion
         stereo_cost = DepthPredModule(self.cv_channels, self.norm, self.dtype,
                                       name='pred_stereo')(stereo_feats, train)
-        mono_cost = DepthPredModule(self.cv_channels, self.norm, self.dtype,
-                                    name='pred_mono')(mono_feats, train)
+        if mono_red is not None:
+            mono_cost = RedDepthPredModule(
+                self.cv_channels, dtype=self.dtype,
+                name='pred_mono')(mono_red, mono_plan, train)
+            mono_cost = mono_cost[:, mono_plan.expand_idx]
+        else:
+            mono_cost = DepthPredModule(
+                self.cv_channels, self.norm, self.dtype,
+                name='pred_mono')(mono_feats, train)
         # gate: Conv2d over stacked (2D,) depth channels
         # (B, D, H, W, 1) -> (B, H, W, D)
         s2d = stereo_cost[..., 0].transpose(0, 2, 3, 1)
