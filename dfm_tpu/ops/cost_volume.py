@@ -149,6 +149,42 @@ def build_plane_sweep_cost(cur_feats,
         raise ValueError('split=True needs an integer cost_sample_factor '
                          '(cur sample must be a pure slice)')
 
+    if split:
+        h_in, w_in = feat_shape
+        h_out = round(h_in / csf)
+        w_out = round(w_in / csf)
+        cur2d = cur_feats[:, :h_out * int(csf):int(csf),
+                          :w_out * int(csf):int(csf)]
+        prev_grid = jax.vmap(
+            lambda c2i, c2p, ow, fl, co, sf: plane_sweep_grids(
+                depths, c2i, c2p, feat_shape, csf, feat_sample_factor,
+                ow, fl, co, sf)[1]
+        )(cam2img, cur2prev, org_w, flip, crop_offset,
+          scale_factor)                            # (B, D, H', W', 2)
+
+        def gather_path(args):
+            pf, u, v = args
+            grid = jnp.stack([u, v], axis=-1)
+            return jax.vmap(
+                lambda f, g: packed_bilinear_sample(pack_taps_2d(f), g, c)
+            )(pf, grid).astype(pf.dtype)
+
+        u = prev_grid[..., 0]
+        v = prev_grid[..., 1]
+        if (cur_feats.dtype == jnp.bfloat16
+                and jax.default_backend() == 'tpu'):
+            # Pallas band-warp kernel (~5x over the packed gather);
+            # per-batch runtime fallback when a row's v-taps exceed
+            # the band (ops/pallas/cost_warp.py)
+            from .pallas.cost_warp import band_ok, warp_prev_band
+            prev_s = jax.lax.cond(
+                band_ok(v, prev_feats.shape[1]),
+                lambda args: warp_prev_band(*args),
+                gather_path, (prev_feats, u, v))
+        else:
+            prev_s = gather_path((prev_feats, u, v))
+        return cur2d, prev_s
+
     def single(cur_f, prev_f, c2i, c2p, ow, fl, co, sf):
         cur_grid, prev_grid = plane_sweep_grids(
             depths, c2i, c2p, feat_shape, cost_sample_factor,
@@ -156,9 +192,6 @@ def build_plane_sweep_cost(cur_feats,
         # tap-packed gather: one wide row fetch per query (prev frame)
         prev_s = packed_bilinear_sample(pack_taps_2d(prev_f), prev_grid, c)
         h_out, w_out = prev_grid.shape[1:3]
-        if split:
-            return cur_f[:h_out * int(csf):int(csf),
-                         :w_out * int(csf):int(csf)], prev_s
         if slice_cur:
             cur_s = jnp.broadcast_to(
                 cur_f[:h_out * int(csf):int(csf),
