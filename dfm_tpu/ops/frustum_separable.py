@@ -179,26 +179,31 @@ def separable_stereo_sample(vol, u, v, ds, pad_shape, out_f32=False):
     nz = v.shape[1]
     pad_h, pad_w = pad_shape
 
-    x_idx = u / (pad_w - 1) * (w - 1)                       # (nx, ny)
-    y_idx = v / (pad_h - 1) * (h - 1)                       # (nx, nz)
-    mu = hat_matrix(x_idx, w)                               # (nx, ny, w)
-    mv = hat_matrix(y_idx, h)                               # (nx, nz, h)
-
     slice_idx, ord_, mask, pos = _group_slabs(ds['z0'])
     k, r = ord_.shape
+    ordj = jnp.asarray(ord_)
+    fast = vol.dtype == jnp.bfloat16
+    mdtype = jnp.bfloat16 if fast else jnp.float32
+
+    # hat matrices built directly in grouped order (and at matmul
+    # width): avoids materializing the (nx, ny, w) f32 tensor twice
+    x_idx = u / (pad_w - 1) * (w - 1)                       # (nx, ny)
+    y_idx = v / (pad_h - 1) * (h - 1)                       # (nx, nz)
+    mu_g = hat_matrix(x_idx[ordj], w, mdtype)               # (K, R, ny, w)
+    mv_g = hat_matrix(y_idx[ordj], h, jnp.float32)          # (K, R, nz, h)
     w0 = jnp.asarray(ds['w0'])[ord_] * mask                 # (K, R)
     w1 = jnp.asarray(ds['w1'])[ord_] * mask
-    mv_g = mv[jnp.asarray(ord_)]                            # (K, R, nz, h)
-    mu_g = mu[jnp.asarray(ord_)]                            # (K, R, ny, w)
 
-    fast = vol.dtype == jnp.bfloat16
     v0 = vol[jnp.asarray(slice_idx)]                        # (K, h, w, c)
     v1 = vol[jnp.asarray(np.minimum(slice_idx + 1, d - 1))]
 
-    mv0 = mv_g * w0[..., None, None]
-    mv1 = mv_g * w1[..., None, None]
-    t = (_mm('krzh,khwc->krzwc', mv0, v0, fast) +
-         _mm('krzh,khwc->krzwc', mv1, v1, fast))
+    # depth lerp folded into the v-hat weights; one concat einsum over
+    # a 2h contraction (measured faster than two h-contractions)
+    mv01 = jnp.concatenate(
+        [mv_g * w0[..., None, None], mv_g * w1[..., None, None]],
+        axis=-1).astype(mdtype)                             # (K,R,nz,2h)
+    v01 = jnp.concatenate([v0, v1], axis=1)                 # (K, 2h, w, c)
+    t = _mm('krzh,khwc->krzwc', mv01, v01, fast)
     out = _mm('krzwc,kryw->krzyc', t, mu_g, fast)
     out = out.reshape(k * r, nz, ny, c)[jnp.asarray(pos)]   # (nx, nz, ny, c)
     out = out.transpose(1, 2, 0, 3)                         # (nz, ny, nx, c)
@@ -225,11 +230,12 @@ def separable_sem_sample(sem, u, v, pad_shape, valid2d):
     """
     hs, ws, cs = sem.shape
     pad_h, pad_w = pad_shape
+    fast = sem.dtype == jnp.bfloat16
+    mdtype = jnp.bfloat16 if fast else jnp.float32
     x_idx = u / (pad_w - 1) * (ws - 1)
     y_idx = v / (pad_h - 1) * (hs - 1)
-    mu = hat_matrix(x_idx, ws)                              # (nx, ny, ws)
-    mv = hat_matrix(y_idx, hs)                              # (nx, nz, hs)
-    fast = sem.dtype == jnp.bfloat16
+    mu = hat_matrix(x_idx, ws, mdtype)                      # (nx, ny, ws)
+    mv = hat_matrix(y_idx, hs, mdtype)                      # (nx, nz, hs)
     t = _mm('szh,hwc->szwc', mv, sem, fast)
     out = _mm('szwc,syw->szyc', t, mu, fast)
     out = out.transpose(1, 2, 0, 3)                         # (nz, ny, nx, c)

@@ -27,7 +27,11 @@ def chain_time(fn, args, n_short=2, n_long=10, reps=3):
 
     def chained(n, *args):
         def body(i, carry):
-            out = fn(*(a + carry * 1e-30 if isinstance(a, jnp.ndarray) and
+            # NOTE: cast the perturbation to a.dtype — bf16 + f32 scalar
+            # promotes to f32, which silently flips dtype-gated code
+            # paths inside fn (e.g. the Pallas cost-warp kernel)
+            out = fn(*(a + (carry * 1e-30).astype(a.dtype)
+                       if isinstance(a, jnp.ndarray) and
                        jnp.issubdtype(a.dtype, jnp.floating) else a
                        for a in args))
             leaves = jax.tree.leaves(out)
