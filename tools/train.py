@@ -164,12 +164,28 @@ def main():
     logger = MetricsLogger(args.work_dir,
                            use_tensorboard=not args.no_tensorboard)
 
+    # multi-host: every process loads only its shard of each epoch and
+    # contributes its slice of the global batch
+    # (dfm_tpu/parallel/multihost.py; single-host degenerates cleanly)
+    from dfm_tpu.parallel.multihost import (broadcast_seed,
+                                            global_batch_from_local,
+                                            host_shard_indices,
+                                            local_batch_size)
+    multi_host = jax.process_count() > 1
+    seed = broadcast_seed(args.seed)
+    feed_batch = local_batch_size(batch_size, mesh) if multi_host \
+        else batch_size
+
     with mesh:
         state = replicate(state, mesh)
-        key = jax.random.PRNGKey(args.seed)
+        key = jax.random.PRNGKey(seed)
         t0 = time.time()
         step = start_step
-        order = rng.permutation(len(ds))
+        epoch_no = 0
+        if multi_host:
+            order = host_shard_indices(len(ds), epoch_no, seed)
+        else:
+            order = rng.permutation(len(ds))
         cursor = 0
         max_steps = args.max_steps or total_steps
         profiling = args.profile_steps > 0
@@ -178,14 +194,18 @@ def main():
             prof_ctx.__enter__()
         while step < max_steps:
             idxs = []
-            while len(idxs) < batch_size:
+            while len(idxs) < feed_batch:
                 if cursor >= len(order):
-                    order = rng.permutation(len(ds))
+                    epoch_no += 1
+                    order = host_shard_indices(len(ds), epoch_no, seed) \
+                        if multi_host else rng.permutation(len(ds))
                     cursor = 0
                 idxs.append(int(order[cursor]))
                 cursor += 1
             samples = [ds.get_sample(i, rng) for i in idxs]
-            batch = shard_batch(build_batch(samples, BatchMeta), mesh)
+            local = build_batch(samples, BatchMeta)
+            batch = global_batch_from_local(local, mesh) if multi_host \
+                else shard_batch(local, mesh)
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, batch, sub)
             step += 1
