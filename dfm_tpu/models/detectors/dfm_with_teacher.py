@@ -24,6 +24,10 @@ from .teacher import LidarTeacher
 class DfMWithTeacher(nn.Module):
     cfg: DfMConfig = dataclasses.field(default_factory=DfMConfig)
     dtype: Any = jnp.float32
+    # 'dense' = 0.2 m dense encoder substitute; 'sparse' = the
+    # reference's true 0.05 m submanifold encoder (teacher.py:
+    # SparseLidarTeacher, ops/sparse_conv.py)
+    teacher_encoder: str = 'dense'
 
     @nn.compact
     def __call__(self, img, meta: BatchMeta, points=None, point_mask=None,
@@ -32,13 +36,21 @@ class DfMWithTeacher(nn.Module):
         outputs = DfM(cfg=cfg, dtype=self.dtype, name='dfm')(
             img, meta, train)
         if points is not None:
-            t_vol, t_bev = LidarTeacher(
-                point_cloud_range=cfg.point_cloud_range,
-                voxel_size=cfg.voxel_size,
-                volume_channels=cfg.cv_channels,
-                bev_channels=cfg.bev_channels,
-                dtype=self.dtype, name='lidar_teacher')(
-                    points, point_mask, train)
+            if self.teacher_encoder == 'sparse':
+                from .teacher import SparseLidarTeacher
+                t_vol, t_bev = SparseLidarTeacher(
+                    point_cloud_range=cfg.point_cloud_range,
+                    bev_channels=cfg.bev_channels,
+                    dtype=self.dtype, name='lidar_teacher')(
+                        points, point_mask, train)
+            else:
+                t_vol, t_bev = LidarTeacher(
+                    point_cloud_range=cfg.point_cloud_range,
+                    voxel_size=cfg.voxel_size,
+                    volume_channels=cfg.cv_channels,
+                    bev_channels=cfg.bev_channels,
+                    dtype=self.dtype, name='lidar_teacher')(
+                        points, point_mask, train)
             outputs['imitation'] = dict(
                 bev_pred=ImitationAdapter(cfg.bev_channels, self.dtype,
                                           name='imit_bev')(
