@@ -310,3 +310,15 @@ def expected_torch_shapes(variables, key_map=None):
             shapes[f'{prefix}.running_mean'] = s
             shapes[f'{prefix}.running_var'] = s
     return shapes
+
+
+def teacher_key_map(norm='bn'):
+    """Key map for the LiDAR teacher's BEVHourglass
+    (reference backbones/bev_hourglass.py: compress_conv Sequential +
+    bev_hourglass; teacher config uses SyncBN -> 'bn'). Paths are
+    relative to a SparseLidarTeacher/LidarTeacher variables tree
+    (flax names 'bev' -> {compress, hg})."""
+    m = []
+    m += _convnorm('backbone.compress_conv', ('bev', 'compress'), 2, norm)
+    m += _hourglass('backbone.bev_hourglass', ('bev', 'hg'), 2, norm)
+    return m
