@@ -50,6 +50,13 @@ class FCOS3DConfig:
     diff_rad_by_sin: bool = True
     norm_on_bbox: bool = True
     max_gt: int = 32
+    # nuScenes extensions (reference AnchorFreeMono3DHead pred_attrs /
+    # pred_velo, anchor_free_mono3d_head.py:181-283): attribute branch
+    # on the cls tower, velocity appended to the bbox code (9-dim)
+    pred_attrs: bool = False
+    num_attrs: int = 9
+    attr_branch_channels: int = 64
+    pred_velo: bool = False
     # test
     nms_pre: int = 1000
     score_thr: float = 0.05
@@ -80,12 +87,20 @@ class FCOSMono3DHead(nn.Module):
         conv_cls = nn.Conv(cfg.num_classes, (3, 3),
                            padding=[(1, 1), (1, 1)], dtype=self.dtype,
                            name='conv_cls')
-        conv_reg = nn.Conv(7, (3, 3), padding=[(1, 1), (1, 1)],
+        reg_dim = 7 + (2 if cfg.pred_velo else 0)
+        conv_reg = nn.Conv(reg_dim, (3, 3), padding=[(1, 1), (1, 1)],
                            dtype=self.dtype, name='conv_reg')
         conv_dir = nn.Conv(2, (3, 3), padding=[(1, 1), (1, 1)],
                            dtype=self.dtype, name='conv_dir')
         conv_ctr = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
                            dtype=self.dtype, name='conv_centerness')
+        if cfg.pred_attrs:
+            attr_tower = ConvNorm(cfg.attr_branch_channels, (3, 3),
+                                  norm='gn', dtype=self.dtype,
+                                  name='attr_tower0')
+            conv_attr = nn.Conv(cfg.num_attrs, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                dtype=self.dtype, name='conv_attr')
         scales = self.param('scales', nn.initializers.ones,
                             (len(cfg.strides), 3), jnp.float32)
 
@@ -106,9 +121,15 @@ class FCOSMono3DHead(nn.Module):
             depth = jnp.exp(bbox_pred[..., 2:3] * s[1])
             size = jnp.exp(bbox_pred[..., 3:6] * s[2])
             rot = bbox_pred[..., 6:7]
-            bbox_out = jnp.concatenate([offset, depth, size, rot], axis=-1)
-            outs.append(dict(cls_score=cls_score, bbox_pred=bbox_out,
-                             dir_pred=dir_pred, centerness=centerness))
+            parts = [offset, depth, size, rot]
+            if cfg.pred_velo:
+                parts.append(bbox_pred[..., 7:9])   # raw (no scale/exp)
+            bbox_out = jnp.concatenate(parts, axis=-1)
+            out = dict(cls_score=cls_score, bbox_pred=bbox_out,
+                       dir_pred=dir_pred, centerness=centerness)
+            if cfg.pred_attrs:
+                out['attr_pred'] = conv_attr(attr_tower(cls_feat, train))
+            outs.append(out)
         return outs
 
 
@@ -214,8 +235,10 @@ def fcos3d_loss(level_outs, points_np, cfg: FCOS3DConfig, batch,
             o[key].astype(jnp.float32).reshape(o[key].shape[0], -1, per)
             for o in level_outs], axis=1)
 
+    code = 7 + (2 if cfg.pred_velo else 0)
     cls_score = flat('cls_score', cfg.num_classes)   # (B, P, C)
-    bbox_pred = flat('bbox_pred', 7)
+    bbox_pred_full = flat('bbox_pred', code)
+    bbox_pred = bbox_pred_full[..., :7]
     dir_pred = flat('dir_pred', 2)
     centerness = flat('centerness', 1)[..., 0]
 
@@ -257,10 +280,28 @@ def fcos3d_loss(level_outs, points_np, cfg: FCOS3DConfig, batch,
                                        avg_factor=num_pos)
     loss_ctr = L.binary_cross_entropy(centerness, ctr_tgt, w,
                                       avg_factor=num_pos)
-    return dict(loss_cls=loss_cls, loss_offset=loss_offset,
-                loss_depth=loss_depth, loss_size=loss_size,
-                loss_rotsin=loss_rotsin, loss_dir=loss_dir,
-                loss_centerness=loss_ctr)
+    losses = dict(loss_cls=loss_cls, loss_offset=loss_offset,
+                  loss_depth=loss_depth, loss_size=loss_size,
+                  loss_rotsin=loss_rotsin, loss_dir=loss_dir,
+                  loss_centerness=loss_ctr)
+
+    argmin = tg[4]
+    if cfg.pred_velo and 'gt_velocities' in batch:
+        velo_tgt = jax.vmap(lambda v, a: v[a])(batch['gt_velocities'],
+                                               argmin)
+        velo_pred = jnp.where(pos[..., None], bbox_pred_full[..., 7:9],
+                              0.0)
+        velo_tgt = jnp.where(pos[..., None], velo_tgt, 0.0)
+        losses['loss_velo'] = L.smooth_l1_loss(
+            velo_pred, velo_tgt, w[..., None], avg_factor=num_pos) * 0.05
+    if cfg.pred_attrs and 'gt_attr_labels' in batch:
+        attr_pred = flat('attr_pred', cfg.num_attrs)
+        attr_tgt = jax.vmap(lambda a, i: a[i])(batch['gt_attr_labels'],
+                                               argmin).astype(jnp.int32)
+        losses['loss_attr'] = L.softmax_cross_entropy(
+            attr_pred, jnp.clip(attr_tgt, 0, cfg.num_attrs - 1), w,
+            avg_factor=num_pos)
+    return losses
 
 
 def fcos3d_get_bboxes(level_outs, points_np, cam2img, cfg: FCOS3DConfig):
@@ -278,6 +319,7 @@ def fcos3d_get_bboxes(level_outs, points_np, cam2img, cfg: FCOS3DConfig):
         labels / mask.
     """
     b = level_outs[0]['cls_score'].shape[0]
+    code = 7 + (2 if cfg.pred_velo else 0)
 
     per_level_all = []
     for o, pts, stride in zip(level_outs, points_np, cfg.strides):
@@ -286,22 +328,28 @@ def fcos3d_get_bboxes(level_outs, points_np, cam2img, cfg: FCOS3DConfig):
             o['cls_score'].astype(jnp.float32)).reshape(b, -1, c)
         ctr = jax.nn.sigmoid(
             o['centerness'].astype(jnp.float32)).reshape(b, -1)
-        bbox = o['bbox_pred'].astype(jnp.float32).reshape(b, -1, 7)
+        bbox = o['bbox_pred'].astype(jnp.float32).reshape(b, -1, code)
         if cfg.norm_on_bbox:
             bbox = bbox.at[..., :2].multiply(stride)
         dirc = jnp.argmax(o['dir_pred'].reshape(b, -1, 2), axis=-1)
+        if cfg.pred_attrs:
+            attr = jnp.argmax(
+                o['attr_pred'].reshape(b, -1, cfg.num_attrs), axis=-1)
+        else:
+            attr = jnp.zeros(bbox.shape[:2], jnp.int32)
         pts_j = jnp.asarray(pts)
         # targets encode delta = point - center => center = point - delta
         centers2d = pts_j[None] - bbox[..., :2]
-        per_level_all.append((scores, ctr, bbox, dirc, centers2d))
+        per_level_all.append((scores, ctr, bbox, dirc, centers2d, attr))
 
     scores = jnp.concatenate([x[0] for x in per_level_all], axis=1)
     ctr = jnp.concatenate([x[1] for x in per_level_all], axis=1)
     bbox = jnp.concatenate([x[2] for x in per_level_all], axis=1)
     dirc = jnp.concatenate([x[3] for x in per_level_all], axis=1)
     centers2d = jnp.concatenate([x[4] for x in per_level_all], axis=1)
+    attrs = jnp.concatenate([x[5] for x in per_level_all], axis=1)
 
-    def single(scores_i, ctr_i, bbox_i, dir_i, c2d_i, c2i):
+    def single(scores_i, ctr_i, bbox_i, dir_i, c2d_i, attr_i, c2i):
         ranked = scores_i.max(axis=-1) * ctr_i
         k = min(cfg.nms_pre, ranked.shape[0])
         _, topk = jax.lax.top_k(ranked, k)
@@ -309,6 +357,7 @@ def fcos3d_get_bboxes(level_outs, points_np, cam2img, cfg: FCOS3DConfig):
         bb = bbox_i[topk]
         c2 = c2d_i[topk]
         dr = dir_i[topk]
+        at = attr_i[topk]
         # back-project centers to 3D
         uvd = jnp.concatenate([c2, bb[:, 2:3]], axis=-1)
         ctr3d = points_img2cam(uvd, c2i)
@@ -323,8 +372,24 @@ def fcos3d_get_bboxes(level_outs, points_np, cam2img, cfg: FCOS3DConfig):
         boxes_cam = boxes_cam.at[:, 1].add(bb[:, 4] / 2)
         boxes_pl = cam_to_pseudo_lidar_boxes(boxes_cam)
         bev = boxes_pl[:, [0, 1, 3, 4, 6]]
-        out = box3d_multiclass_nms(boxes_cam, bev, sc, cfg.score_thr,
+        # ride velocity + attr through the NMS gather as extra columns
+        extra = [boxes_cam]
+        if cfg.pred_velo:
+            extra.append(bb[:, 7:9])
+        if cfg.pred_attrs:
+            extra.append(at[:, None].astype(jnp.float32))
+        packed = jnp.concatenate(extra, axis=-1)
+        out = box3d_multiclass_nms(packed, bev, sc, cfg.score_thr,
                                    cfg.nms_thr, cfg.max_num)
+        sel = out.pop('boxes3d')
+        out['boxes3d'] = sel[:, :7]
+        col = 7
+        if cfg.pred_velo:
+            out['velocity'] = sel[:, col:col + 2]
+            col += 2
+        if cfg.pred_attrs:
+            out['attrs'] = sel[:, col].astype(jnp.int32)
         return out
 
-    return jax.vmap(single)(scores, ctr, bbox, dirc, centers2d, cam2img)
+    return jax.vmap(single)(scores, ctr, bbox, dirc, centers2d, attrs,
+                            cam2img)

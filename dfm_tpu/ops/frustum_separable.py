@@ -205,10 +205,13 @@ def separable_stereo_sample(vol, u, v, ds, pad_shape, out_f32=False):
     v01 = jnp.concatenate([v0, v1], axis=1)                 # (K, 2h, w, c)
     t = _mm('krzh,khwc->krzwc', mv01, v01, fast)
     out = _mm('krzwc,kryw->krzyc', t, mu_g, fast)
-    # barrier: at batch > 1 XLA fuses this reorder gather into a
-    # 60 MB scoped-vmem stack allocation and fails to compile
-    out = jax.lax.optimization_barrier(out)
-    out = out.reshape(k * r, nz, ny, c)[jnp.asarray(pos)]   # (nx, nz, ny, c)
+    # un-pad the grouped slabs back to nx order. Groups are contiguous
+    # RUNS of the slab index, so this is a static slice+concat — a
+    # gather here fuses into a >16 MB scoped-vmem allocation at
+    # batch > 1 and fails to compile.
+    runs = _runs(ds['z0'])
+    out = jnp.concatenate([out[ki, :n] for ki, (_, _, n) in
+                           enumerate(runs)], axis=0)   # (nx, nz, ny, c)
     out = out.transpose(1, 2, 0, 3)                         # (nz, ny, nx, c)
 
     valid2d = ((u >= 0) & (u <= pad_w))[None, :, :].transpose(0, 2, 1) & \
