@@ -20,10 +20,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('dataset', choices=['kitti'])
+    p.add_argument('dataset', choices=['kitti', 'waymo', 'nuscenes'])
     p.add_argument('--root', default='data/kitti')
     p.add_argument('--splits', nargs='*', default=['train', 'val'])
     args = p.parse_args()
+
+    if args.dataset == 'waymo':
+        # TFRecord -> kitti_format (guarded devkit import)
+        raise SystemExit(
+            'waymo: run tools/data_converter/waymo_converter.py '
+            '--tfrecord-dir ... --out <root>/kitti_format (requires '
+            'the waymo-open-dataset devkit), then '
+            'tools/create_waymo_gt_bin.py for the eval GT bin')
+    if args.dataset == 'nuscenes':
+        from dfm_tpu.data.nuscenes_converter import \
+            build_nuscenes_mono_infos
+        for split in args.splits:
+            infos = build_nuscenes_mono_infos(args.root, split)
+            out = os.path.join(args.root,
+                               f'nuscenes_infos_mono_{split}.pkl')
+            with open(out, 'wb') as f:
+                pickle.dump(infos, f)
+            print(f'wrote {len(infos)} infos -> {out}')
+        return
 
     from dfm_tpu.data.kitti import build_kitti_infos
 
