@@ -91,6 +91,14 @@ def _build_pgd(mc, dtype):
             cfg, pgd_mono3d_loss, pgd_mono3d_predict)
 
 
+def _build_monoflex(mc, dtype):
+    from .detectors.monoflex import (MonoFlex, MonoFlexConfig,
+                                     monoflex_loss, monoflex_predict)
+    cfg = _mk_cfg(MonoFlexConfig, mc)
+    return (MonoFlex(cfg=cfg, dtype=dtype), cfg, monoflex_loss,
+            monoflex_predict)
+
+
 def _build_smoke(mc, dtype):
     from .detectors.smoke import (SMOKEConfig, SMOKEMono3D, smoke_loss,
                                   smoke_predict)
@@ -140,6 +148,7 @@ _BUILDERS = {
     'FCOSMono3D': _build_fcos3d,
     'PGD': _build_pgd,
     'SMOKEMono3D': _build_smoke,
+    'MonoFlex': _build_monoflex,
     'ImVoxelNet': _build_imvoxelnet,
     'VoxelNet': _build_voxelnet,
     'DynamicVoxelNet': _build_dynamic_voxelnet,
