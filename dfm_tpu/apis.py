@@ -120,3 +120,41 @@ def dataset_inference(handle, variables, dataset, max_samples=None):
         sample = dataset.get_sample(i, rng)
         out.append(inference_dfm(handle, variables, sample))
     return out
+
+
+def init_dfm_stream(cfg=None, dtype=None):
+    """Streaming DfM video inference with prev-frame feature reuse.
+
+    A video detector recomputes its reference-frame 2D trunk every
+    step in the reference implementation; in a stream the previous
+    frame's stereo features were already computed one step earlier, so
+    serving reuses them (`DfM.__call__ prev_stereo_cache`) and each
+    step pays ONE backbone+neck pass instead of two. Exact whenever
+    consecutive frames share scale/flip (eval pipelines guarantee it);
+    the first frame of a sequence runs the full two-frame path.
+
+    Returns dict(infer_first, infer_stream, ...):
+        infer_first(variables, img2, meta) -> (dets, cache)
+        infer_stream(variables, img1, meta, cache) -> (dets, cache)
+    """
+    import jax
+    import jax.numpy as jnp
+    from .models import DfM, DfMConfig, dfm_predict
+
+    cfg = cfg or DfMConfig()
+    model = DfM(cfg=cfg, dtype=dtype or jnp.bfloat16)
+
+    @jax.jit
+    def infer_first(variables, img, meta):
+        out = model.apply(variables, img, meta, train=False)
+        return dfm_predict(out, cfg), out['stereo_cache']
+
+    @jax.jit
+    def infer_stream(variables, img_cur, meta, cache):
+        img2 = jnp.stack([img_cur, img_cur], axis=1)
+        out = model.apply(variables, img2, meta, train=False,
+                          prev_stereo_cache=cache)
+        return dfm_predict(out, cfg), out['stereo_cache']
+
+    return dict(model=model, cfg=cfg, infer_first=infer_first,
+                infer_stream=infer_stream)

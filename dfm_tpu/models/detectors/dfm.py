@@ -171,15 +171,23 @@ class DfM(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, img, meta: BatchMeta, train: bool = False):
+    def __call__(self, img, meta: BatchMeta, train: bool = False,
+                 prev_stereo_cache=None):
         """Args:
             img: (B, 2, H, W, 3) current + previous frames (normalized).
             meta: BatchMeta.
+            prev_stereo_cache: optional (B, H, W, Cs) cached stereo
+                features of the previous frame (video streaming: the
+                previous step's 'stereo_cache' output — the prev-frame
+                trunk is skipped entirely; exact when the previous
+                frame was processed at the same scale/flip, which eval
+                pipelines guarantee via matched augs).
 
         Returns:
             dict with 'cls_score', 'bbox_pred', 'dir_pred' (head outputs),
             'depth_cost' (B, D', H/4, W/4), 'bev_feat', 'volume_feat',
-            'sem_feat'.
+            'sem_feat', 'stereo_cache' (cur stereo features — feed as
+            prev_stereo_cache on the next frame).
         """
         cfg = self.cfg
         b, n, h, w, _ = img.shape
@@ -193,11 +201,14 @@ class DfM(nn.Module):
                            norm='gn', dtype=self.dtype, name='neck')
 
         cur = img[:, 0].astype(self.dtype)
-        prev = img[:, 1].astype(self.dtype)
         cur_feats = [cur] + list(backbone(cur, train))
-        prev_feats = [prev] + list(backbone(prev, train))
         cur_stereo, cur_sem = neck(cur_feats, train)
-        prev_stereo, prev_sem = neck(prev_feats, train)
+        if prev_stereo_cache is not None:
+            prev_stereo = prev_stereo_cache.astype(self.dtype)
+        else:
+            prev = img[:, 1].astype(self.dtype)
+            prev_feats = [prev] + list(backbone(prev, train))
+            prev_stereo, _ = neck(prev_feats, train)
 
         depths = jnp.asarray(cfg.downsampled_depths())
         stereo_backbone = DfMBackbone(
@@ -239,7 +250,7 @@ class DfM(nn.Module):
         return dict(cls_score=cls_score, bbox_pred=bbox_pred,
                     dir_pred=dir_pred, depth_cost=depth_cost,
                     volume_feat=volume_feat, bev_feat=bev_feat,
-                    sem_feat=cur_sem)
+                    sem_feat=cur_sem, stereo_cache=cur_stereo)
 
 
 def _anchors_per_class(cfg: DfMConfig, featmap_size):

@@ -170,6 +170,7 @@ def _batched(vol, u, v, ds, pad_shape, groups):
                 (b * k, d + 1, h, c, wp, ny))      # (B*K, R, C*nzp, ny)
 
     # unpad: rows (c, nzp) -> (nz, c); concat run lengths -> nx order
+    out = jax.lax.optimization_barrier(out)
     out = out.reshape(b, k, r, c, nzp, ny)[:, :, :, :, :nz, :]
     out = jnp.concatenate([out[:, ki, :n] for ki, (_, _, n) in
                            enumerate(runs)], axis=1)  # (B,nx,c,nz,ny)
