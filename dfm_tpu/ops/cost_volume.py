@@ -171,8 +171,10 @@ def build_plane_sweep_cost(cur_feats,
 
         u = prev_grid[..., 0]
         v = prev_grid[..., 1]
+        import os
         if (cur_feats.dtype == jnp.bfloat16
-                and jax.default_backend() == 'tpu'):
+                and jax.default_backend() == 'tpu'
+                and not os.environ.get('DFM_NO_COST_KERNEL')):
             # Pallas band-warp kernel (~5x over the packed gather);
             # per-batch runtime fallback when a row's v-taps exceed
             # the band (ops/pallas/cost_warp.py)
