@@ -8,6 +8,7 @@ every rule is a vectorized select, so the whole assignment jits and vmaps
 over the batch.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,3 +132,39 @@ def anchor_targets_single_class(anchors,
                 bbox_targets=bbox_targets, bbox_weights=bbox_weights,
                 dir_targets=dir_targets, dir_weights=dir_weights,
                 pos_mask=pos)
+
+
+def iou_neg_piecewise_sample(assigned, max_overlaps, rng,
+                             num_expected_neg=512,
+                             neg_piece_fractions=(0.8, 0.2),
+                             neg_iou_piece_thrs=(0.55, 0.1),
+                             return_iou_weight=False):
+    """IoUNegPiecewiseSampler (reference core/bbox/samplers/
+    iou_neg_piecewise_sampler.py, used by PartA2/point heads): sample
+    negatives from IoU bands with fixed per-band budgets — hard
+    negatives (just under the positive threshold) get most of the
+    budget. Static shape: returns a (N,) weight in {0, 1} with at most
+    `num_expected_neg` negatives enabled.
+
+    Args:
+        assigned: (N,) assignment from `max_iou_assign` (-1 = negative).
+        max_overlaps: (N,) best-gt IoU per anchor.
+        rng: PRNGKey.
+        neg_piece_fractions: budget split per IoU band; bands are
+            [thr_{i+1}, thr_i) descending from neg_iou_piece_thrs.
+    """
+    neg = assigned == -1
+    n = assigned.shape[0]
+    weight = jnp.zeros((n,), jnp.float32)
+    hi = jnp.asarray(neg_iou_piece_thrs)
+    lo = jnp.concatenate([hi[1:], jnp.zeros((1,))])
+    keys = jax.random.split(rng, len(neg_iou_piece_thrs))
+    for i, frac in enumerate(neg_piece_fractions):
+        budget = int(round(num_expected_neg * frac))
+        band = neg & (max_overlaps < hi[i]) & (max_overlaps >= lo[i])
+        # random top-k selection inside the band (static shape)
+        score = jnp.where(band, jax.random.uniform(keys[i], (n,)), -1.0)
+        _, idx = jax.lax.top_k(score, budget)
+        ok = score[idx] > 0
+        weight = weight.at[idx].max(ok.astype(jnp.float32))
+    return weight
