@@ -132,6 +132,14 @@ def _build_dynamic_voxelnet(mc, dtype):
             dynamic_voxelnet_loss, dynamic_voxelnet_predict)
 
 
+def _build_votenet(mc, dtype):
+    from .detectors.votenet import (VoteNet, VoteNetConfig,
+                                    votenet_loss, votenet_predict)
+    cfg = _mk_cfg(VoteNetConfig, mc)
+    return (VoteNet(cfg=cfg, dtype=dtype), cfg, votenet_loss,
+            votenet_predict)
+
+
 def _build_centerpoint(mc, dtype):
     from .detectors.centerpoint import (CenterPoint, CenterPointConfig,
                                         centerpoint_loss,
@@ -153,6 +161,7 @@ _BUILDERS = {
     'VoxelNet': _build_voxelnet,
     'DynamicVoxelNet': _build_dynamic_voxelnet,
     'CenterPoint': _build_centerpoint,
+    'VoteNet': _build_votenet,
 }
 
 
