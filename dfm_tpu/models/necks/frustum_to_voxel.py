@@ -60,16 +60,17 @@ class FrustumToVoxel(nn.Module):
                                                self.cat_img_feature)
         separable = self.separable and isinstance(coors_3d, np.ndarray)
 
-        # Pallas sampler: 2.2x faster than the einsums in isolation
-        # (26.8 vs 30.7 ms at module level) but currently regresses the
-        # whole-model schedule by ~30 ms (NOTES.md round-2 log) — ship
-        # disabled pending the scheduling investigation; enable with
-        # DFM_FRUSTUM_KERNEL=1.
+        # Pallas group-matmul sampler (2.2x over the einsums). MUST be
+        # wrapped in a lax.cond: a top-level Mosaic custom call forces
+        # XLA into a conservative whole-program schedule (-30 ms!),
+        # inside a conditional it is isolated and the kernel's win
+        # materializes (8.49 -> 8.64 fps; NOTES.md round-2 log).
+        # DFM_NO_FRUSTUM_KERNEL=1 opts out.
         kernel_voxel = None
         import os
         if separable and stereo_vol.dtype == jnp.bfloat16 and \
                 jax.default_backend() == 'tpu' and \
-                os.environ.get('DFM_FRUSTUM_KERNEL'):
+                not os.environ.get('DFM_NO_FRUSTUM_KERNEL'):
             # Pallas group-matmul sampler (2.2x over the einsums);
             # batched OUTSIDE the vmap (ops/pallas/frustum_sample.py)
             from ...ops.pallas.frustum_sample import \
@@ -82,9 +83,21 @@ class FrustumToVoxel(nn.Module):
                                       stereo_vol.shape[1])
             groups = FS._group_slabs(ds['z0'])
             uv = jax.vmap(lambda c: FS.slab_uv(c, xs, ys, zs))(cam2img)
-            kernel_voxel = frustum_stereo_sample_pallas(
-                stereo_vol, uv[0], uv[1], ds, pad_shape,
-                (groups[0], groups[1], groups[2], FS._runs(ds['z0'])))
+            g4 = (groups[0], groups[1], groups[2],
+                  FS._runs(ds['z0']))
+            # pred is effectively always true (finite grids); the cond
+            # exists purely to isolate the custom call's schedule
+            pred = jnp.isfinite(jnp.sum(uv[1]))
+            kernel_voxel = jax.lax.cond(
+                pred,
+                lambda a: frustum_stereo_sample_pallas(
+                    a[0], a[1], a[2], ds, pad_shape, g4),
+                lambda a: (jnp.zeros(
+                    (a[0].shape[0],) + coors_3d.shape[:3] +
+                    (a[0].shape[-1],), jnp.bfloat16),
+                    jnp.zeros((a[0].shape[0],) +
+                              coors_3d.shape[:3], bool)),
+                (stereo_vol, uv[0], uv[1]))
 
         def single_separable(vol_i, cost_i, sem_i, c2i, pre=None):
             xs = np.ascontiguousarray(coors_3d[0, 0, :, 0])
