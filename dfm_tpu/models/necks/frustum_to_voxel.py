@@ -98,6 +98,24 @@ class FrustumToVoxel(nn.Module):
                     jnp.zeros((a[0].shape[0],) +
                               coors_3d.shape[:3], bool)),
                 (stereo_vol, uv[0], uv[1]))
+            if use_atten:
+                from ...ops.pallas.frustum_sample import \
+                    attention_sample_pallas
+                sm_b = jax.vmap(lambda c: FS.build_fine_softmax_volume(
+                    jax.lax.stop_gradient(c), self.up_factor,
+                    pad_shape, dtype=jnp.bfloat16))(depth_cost)
+                dsf = FS.slab_depth_static(
+                    xs, self.depth_min, self.depth_max,
+                    depth_cost.shape[1] * self.up_factor)
+                kernel_att = jax.lax.cond(
+                    pred,
+                    lambda a: attention_sample_pallas(
+                        a[0], a[1], a[2], dsf, pad_shape)[0],
+                    lambda a: jnp.zeros(
+                        (a[0].shape[0],) + coors_3d.shape[:3],
+                        jnp.float32),
+                    (sm_b, uv[0], uv[1]))
+                kernel_voxel = kernel_voxel + (kernel_att,)
 
         def single_separable(vol_i, cost_i, sem_i, c2i, pre=None):
             xs = np.ascontiguousarray(coors_3d[0, 0, :, 0])
@@ -106,13 +124,18 @@ class FrustumToVoxel(nn.Module):
             u, v = FS.slab_uv(c2i, xs, ys, zs)
             ds = FS.slab_depth_static(xs, self.depth_min, self.depth_max,
                                       vol_i.shape[0])
+            pre_att = None
             if pre is not None:
-                voxel, valid2d = pre
+                voxel, valid2d = pre[0], pre[1]
+                if len(pre) > 2:
+                    pre_att = pre[2]
             else:
                 voxel, valid2d = FS.separable_stereo_sample(
                     vol_i, u, v, ds, pad_shape)
             pred_disp = None
-            if use_atten:
+            if use_atten and pre_att is not None:
+                pred_disp = pre_att[..., None].astype(voxel.dtype)
+            elif use_atten:
                 sm = FS.build_fine_softmax_volume(
                     jax.lax.stop_gradient(cost_i), self.up_factor,
                     pad_shape, dtype=jnp.bfloat16)

@@ -180,3 +180,116 @@ def _batched(vol, u, v, ds, pad_shape, groups):
               jnp.swapaxes((v >= 0) & (v <= pad_h), -1, -2)[:, :, None]
     valid = valid2d & jnp.asarray(ds['in_range'])[None, None, None, :]
     return (out * valid[..., None]).astype(vol.dtype), valid2d
+
+
+def _att_kernel(z0_ref, mv_ref, mu_ref, smf_ref, out_ref, band, sems,
+                *, nzp, hf, wf, ny, per_b):
+    s = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(s, 2)
+
+    def issue(prog, sl):
+        return pltpu.make_async_copy(
+            smf_ref.at[prog // per_b, pl.ds(z0_ref[prog], 2)],
+            band.at[sl], sems.at[sl])
+
+    @pl.when(s == 0)
+    def _first():
+        issue(0, 0).start()
+
+    @pl.when(s + 1 < n)
+    def _next():
+        issue(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+    pltpu.make_async_copy(
+        smf_ref.at[s // per_b, pl.ds(z0_ref[s], 2)], band.at[slot],
+        sems.at[slot]).wait()
+    bd = band[slot].reshape(2 * hf, wf)
+    t = jax.lax.dot(mv_ref[0], bd,
+                    preferred_element_type=jnp.float32)   # (nzp, Wf)
+    o = jax.lax.dot(t.astype(jnp.bfloat16), mu_ref[0],
+                    preferred_element_type=jnp.float32)   # (nzp, ny)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('nzp', 'shapes'))
+def _att_call(z0, mv, mu, smf, nzp, shapes):
+    n, hf, wf, ny = shapes
+    per_b = n // smf.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, nzp, 2 * hf), lambda s, p: (s, 0, 0)),
+            pl.BlockSpec((1, wf, ny), lambda s, p: (s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, nzp, ny), lambda s, p: (s, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, hf, wf), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_att_kernel, nzp=nzp, hf=hf, wf=wf, ny=ny,
+                          per_b=per_b),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, nzp, ny), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+    )(z0, mv, mu, smf)
+
+
+def attention_sample_pallas(sm_fine, u, v, dsf, pad_shape):
+    """Pallas version of `separable_softmax_attention` (bf16, TPU).
+
+    Per x-slab: 2-slice band DMA of the fine softmax volume, depth
+    lerp folded into the v-hat matrix, two matmuls. Callers must wrap
+    the call in lax.cond (top-level Mosaic custom calls wreck the XLA
+    schedule — NOTES.md).
+
+    Args:
+        sm_fine: ([B,] D_f, H_f, W_f) bf16 fine softmax volume.
+        u: ([B,] nx, ny), v: ([B,] nx, nz) pixel coords.
+        dsf: static dict from slab_depth_static(num_bins=D_f).
+
+    Returns: ([B,] nz, ny, nx) f32 attention, zero outside validity.
+    """
+    from ..frustum_separable import hat_matrix
+    if sm_fine.ndim == 2:
+        raise ValueError
+    batched = sm_fine.ndim == 4
+    if not batched:
+        sm_fine, u, v = sm_fine[None], u[None], v[None]
+    b, df, hf, wf = sm_fine.shape
+    nx, ny = u.shape[1:]
+    nz = v.shape[2]
+    pad_h, pad_w = pad_shape
+    nzp = -(-nz // 8) * 8
+
+    x_f = u / (pad_w - 1) * (wf - 1)
+    y_f = v / (pad_h - 1) * (hf - 1)
+    mu = hat_matrix(x_f, wf, jnp.bfloat16)             # (B, nx, ny, wf)
+    mu = jnp.swapaxes(mu, -1, -2).reshape(b * nx, wf, ny)
+    mv = hat_matrix(y_f, hf, jnp.float32)              # (B, nx, nz, hf)
+    w0 = jnp.asarray(dsf['w0'])[None, :, None, None]
+    w1 = jnp.asarray(dsf['w1'])[None, :, None, None]
+    mv01 = jnp.concatenate([mv * w0, mv * w1], axis=-1)
+    mv01 = jnp.pad(mv01, ((0, 0), (0, 0), (0, nzp - nz), (0, 0))
+                   ).reshape(b * nx, nzp, 2 * hf).astype(jnp.bfloat16)
+
+    smf = jnp.concatenate([sm_fine, sm_fine[:, -1:]], axis=1)
+    z0 = jnp.tile(np.minimum(np.asarray(dsf['z0']), df - 1
+                             ).astype(np.int32), b)
+
+    out = _att_call(jnp.asarray(z0), mv01, mu,
+                    smf.astype(jnp.bfloat16), nzp,
+                    (b * nx, hf, wf, ny))              # (B*nx, nzp, ny)
+    out = out.reshape(b, nx, nzp, ny)[:, :, :nz, :].astype(jnp.float32)
+    att = out.transpose(0, 2, 3, 1)                    # (B, nz, ny, nx)
+
+    valid2d = ((u >= 0) & (u <= pad_w))[:, None].swapaxes(-1, -2) & \
+              jnp.swapaxes((v >= 0) & (v <= pad_h), -1, -2)[:, :, None]
+    valid = valid2d & jnp.asarray(dsf['in_range'])[None, None, None, :]
+    att = att * valid
+    return (att, valid2d) if batched else (att[0], valid2d[0])

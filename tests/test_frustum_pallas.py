@@ -49,3 +49,22 @@ def test_pallas_matches_einsum_path():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=6e-2, rtol=6e-2)
+
+
+def test_attention_pallas_matches_einsum():
+    from dfm_tpu.ops.pallas.frustum_sample import attention_sample_pallas
+    rng = np.random.RandomState(1)
+    df, hf, wf = 12, 16, 32
+    nx, ny, nz = 10, 12, 5
+    sm = jnp.asarray(rng.rand(df, hf, wf), jnp.float32).astype(
+        jnp.bfloat16)
+    pad = (32, 64)
+    u = jnp.asarray(rng.rand(nx, ny) * 70 - 3, jnp.float32)
+    v = jnp.asarray(rng.rand(nx, nz) * 36 - 2, jnp.float32)
+    xs = np.linspace(2.0, 30.0, nx)
+    dsf = FS.slab_depth_static(xs, 2.0, 30.0, df)
+
+    want = FS.separable_softmax_attention(sm, u, v, dsf, pad)
+    got, _ = _interpret(attention_sample_pallas, sm, u, v, dsf, pad)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=6e-2, rtol=6e-2)
