@@ -1,11 +1,25 @@
-"""DfM-R34 KITTI 3-class — flagship config.
+"""DfM-R34 KITTI 3-class — flagship config (FULL training recipe).
 
-Mirrors the reference's configs/dfm/dfm_r34_1x8_kitti-3d-3class.py
-hyperparameters as a dfm_tpu config.
+Mirrors the reference's configs/dfm/dfm_r34_1x8_kitti-3d-3class.py:
+the flagship trains `DfMFull` — the 3D anchor head PLUS the frozen
+SECOND LiDAR teacher imitation (`lidar_model`, ref config :13-43),
+the 2D ATSS auxiliary head (ref dfm.py:330-347) and the dense depth
+loss, exactly like the reference's `DfM.forward_train` (:300-371).
+Inference uses only the student path (dfm_predict), so eval/bench are
+unchanged vs the bare-DfM configs.
+
+The teacher starts from a converted LIGA-SECOND checkpoint
+(`teacher_checkpoint`; produce it with
+tools/model_converters/convert_second_checkpoints.py) and receives no
+optimizer updates (runtime/train.py frozen_prefixes).
 """
 
 model = dict(
-    type='DfM',
+    type='DfMFull',
+    # 2D auxiliary ATSS head (reference bbox_head_2d, dfm.py:330-347)
+    atss=dict(in_channels=32, feat_channels=64, stacked_convs=1),
+    # converted SECOND teacher weights; trained from scratch if absent
+    teacher_checkpoint='work_dirs/second_teacher/teacher.msgpack',
     depth_num_bins=288,
     depth_min=2.0,
     depth_max=59.6,

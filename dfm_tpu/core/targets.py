@@ -45,9 +45,13 @@ def max_iou_assign(overlaps,
     argmax_overlaps = jnp.argmax(overlaps, axis=0)      # (A,)
 
     assigned = jnp.full(overlaps.shape[1], -1, jnp.int32)
-    # negatives
+    # negatives; with zero valid gts every anchor is a negative (mmdet
+    # assign_wrt_overlaps: num_gts == 0 -> assigned_gt_inds all 0), so
+    # class-empty frames still train the classifier on background
+    no_gt = ~gt_mask.any()
     assigned = jnp.where(
-        (max_overlaps >= 0) & (max_overlaps < neg_iou_thr), 0, assigned)
+        no_gt | ((max_overlaps >= 0) & (max_overlaps < neg_iou_thr)),
+        0, assigned)
     # positives
     assigned = jnp.where(
         max_overlaps >= pos_iou_thr,

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from ..layers import apply_norm
 from ...ops.deform_conv import deform_conv2d
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+                101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+BASIC_DEPTHS = (18, 34)
 
 
 class DeformConv2d(nn.Module):
@@ -93,8 +95,48 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class BasicBlock(nn.Module):
+    """Two-conv residual block (ResNet-18/34; mmdet BasicBlock)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dcn: bool = False
+    norm: str = 'bn'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        d = self.dilation
+        if self.dcn:
+            out = DeformConv2d(self.planes, (3, 3),
+                               strides=(self.stride,) * 2, dilation=d,
+                               dtype=self.dtype, name='conv1_dcn')(x)
+        else:
+            out = nn.Conv(self.planes, (3, 3),
+                          strides=(self.stride,) * 2,
+                          kernel_dilation=(d, d), padding=[(d, d), (d, d)],
+                          use_bias=False, dtype=self.dtype)(x)
+        out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), kernel_dilation=(d, d),
+                      padding=[(d, d), (d, d)], use_bias=False,
+                      dtype=self.dtype)(out)
+        out = apply_norm(self, out, self.norm, 32, train, dtype=self.dtype)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               dtype=self.dtype)(x)
+            identity = apply_norm(self, identity, self.norm, 32, train,
+                                  dtype=self.dtype)
+        return nn.relu(out + identity)
+
+
 class ResNet(nn.Module):
-    """ResNet-50/101; returns stage features (strides 4, 8, 16, 32)."""
+    """ResNet-18/34/50/101/152; returns stage features (strides 4, 8,
+    16, 32). 18/34 use BasicBlock (expansion 1), deeper use Bottleneck
+    (expansion 4), matching mmdet ResNet."""
     depth: int = 101
     base_channels: int = 64
     strides: Tuple[int, ...] = (1, 2, 2, 2)
@@ -114,19 +156,23 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
+        basic = self.depth in BASIC_DEPTHS
+        block_cls = BasicBlock if basic else Bottleneck
+        expansion = 1 if basic else 4
         in_planes = self.base_channels
         for i, num_blocks in enumerate(STAGE_BLOCKS[self.depth]):
             planes = self.base_channels * 2**i
             for b in range(num_blocks):
                 stride = self.strides[i] if b == 0 else 1
-                need_ds = b == 0 and (stride != 1 or in_planes != planes * 4)
-                x = Bottleneck(planes=planes, stride=stride,
-                               dilation=self.dilations[i],
-                               downsample=need_ds,
-                               dcn=self.stage_with_dcn[i], norm=self.norm,
-                               dtype=self.dtype,
-                               name=f'layer{i + 1}_block{b}')(x, train)
-                in_planes = planes * 4
+                need_ds = b == 0 and (stride != 1 or
+                                      in_planes != planes * expansion)
+                x = block_cls(planes=planes, stride=stride,
+                              dilation=self.dilations[i],
+                              downsample=need_ds,
+                              dcn=self.stage_with_dcn[i], norm=self.norm,
+                              dtype=self.dtype,
+                              name=f'layer{i + 1}_block{b}')(x, train)
+                in_planes = planes * expansion
             if i in self.out_indices:
                 outs.append(x)
         return outs

@@ -140,6 +140,23 @@ def _build_votenet(mc, dtype):
             votenet_predict)
 
 
+def _build_ssd3d(mc, dtype):
+    from .detectors.ssd3d import (SSD3DConfig, SSD3DNet, ssd3d_loss,
+                                  ssd3d_predict)
+    cfg = _mk_cfg(SSD3DConfig, mc)
+    return (SSD3DNet(cfg=cfg, dtype=dtype), cfg, ssd3d_loss,
+            ssd3d_predict)
+
+
+def _build_groupfree3d(mc, dtype):
+    from .detectors.groupfree3d import (GroupFree3DConfig, GroupFree3DNet,
+                                        groupfree3d_loss,
+                                        groupfree3d_predict)
+    cfg = _mk_cfg(GroupFree3DConfig, mc)
+    return (GroupFree3DNet(cfg=cfg, dtype=dtype), cfg, groupfree3d_loss,
+            groupfree3d_predict)
+
+
 def _build_centerpoint(mc, dtype):
     from .detectors.centerpoint import (CenterPoint, CenterPointConfig,
                                         centerpoint_loss,
@@ -162,6 +179,8 @@ _BUILDERS = {
     'DynamicVoxelNet': _build_dynamic_voxelnet,
     'CenterPoint': _build_centerpoint,
     'VoteNet': _build_votenet,
+    'SSD3DNet': _build_ssd3d,
+    'GroupFree3DNet': _build_groupfree3d,
 }
 
 

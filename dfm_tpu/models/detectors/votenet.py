@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..backbones.pointnet2 import (PointNet2SASSG, ball_group,
-                                   farthest_point_sample)
+from ..backbones.pointnet2 import (PointNet2SASSG, batched_ball_group,
+                                   batched_fps)
 
 __all__ = ['VoteNet', 'VoteNetConfig', 'votenet_loss', 'votenet_predict']
 
@@ -43,7 +43,11 @@ class VoteNet(nn.Module):
 
     @nn.compact
     def __call__(self, points, train: bool = False):
-        """points (B, N, 3+C) -> proposal dict (per-sample vmap)."""
+        """points (B, N, 3+C) -> proposal dict. Fully batched: the
+        geometry ops (FPS / ball query) are vmapped pure functions;
+        every parameterized layer (incl. the backbone's BatchNorm)
+        sees the whole batch — stateful flax modules must never sit
+        inside a raw jax.vmap (mutable batch_stats leak as tracers)."""
         cfg = self.cfg
         backbone = PointNet2SASSG(dtype=self.dtype, name='backbone')
         vote_mlp = [nn.Dense(256, dtype=self.dtype, name=f'vote{i}')
@@ -55,29 +59,26 @@ class VoteNet(nn.Module):
                             cfg.num_heading_bins * 2 + cfg.num_classes,
                             dtype=self.dtype, name='head_out')
 
-        def single(pts):
-            seed_xyz, seed_f = backbone(pts, train)
-            x = seed_f
-            for m in vote_mlp:
-                x = nn.relu(m(x))
-            v = vote_out(x)
-            vote_xyz = seed_xyz + v[:, :3]
-            vote_f = seed_f + v[:, 3:]
+        seed_xyz, seed_f = backbone(points.astype(self.dtype), train)
+        x = seed_f
+        for m in vote_mlp:
+            x = nn.relu(m(x))
+        v = vote_out(x)
+        vote_xyz = seed_xyz + v[..., :3]
+        vote_f = seed_f + v[..., 3:]
 
-            # cluster votes: FPS centers + ball aggregation
-            cidx = farthest_point_sample(vote_xyz, cfg.num_proposals)
-            centers = vote_xyz[cidx]
-            g = ball_group(vote_xyz, vote_f, centers, cfg.vote_radius,
-                           cfg.vote_k)
-            y = g
-            for m in prop_mlp:
-                y = nn.relu(m(y))
-            agg = y.max(axis=1)
-            out = head_out(agg).astype(jnp.float32)
-            return dict(seed_xyz=seed_xyz, vote_xyz=vote_xyz,
-                        centers=centers, raw=out)
-
-        return jax.vmap(single)(points.astype(self.dtype))
+        # cluster votes: FPS centers + ball aggregation (per sample)
+        cidx = batched_fps(vote_xyz, cfg.num_proposals)
+        centers = jnp.take_along_axis(vote_xyz, cidx[..., None], axis=1)
+        g = batched_ball_group(vote_xyz, vote_f, centers,
+                               cfg.vote_radius, cfg.vote_k)
+        y = g
+        for m in prop_mlp:
+            y = nn.relu(m(y))
+        agg = y.max(axis=2)
+        out = head_out(agg).astype(jnp.float32)
+        return dict(seed_xyz=seed_xyz, vote_xyz=vote_xyz,
+                    centers=centers, raw=out)
 
 
 def _split_raw(raw, cfg):

