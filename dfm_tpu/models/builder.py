@@ -157,6 +157,13 @@ def _build_groupfree3d(mc, dtype):
             groupfree3d_predict)
 
 
+def _build_sassd(mc, dtype):
+    from .detectors.sassd import (SASSD, SASSDConfig, sassd_loss,
+                                  sassd_predict)
+    cfg = _mk_cfg(SASSDConfig, mc)
+    return SASSD(cfg=cfg, dtype=dtype), cfg, sassd_loss, sassd_predict
+
+
 def _build_centerpoint(mc, dtype):
     from .detectors.centerpoint import (CenterPoint, CenterPointConfig,
                                         centerpoint_loss,
@@ -181,6 +188,7 @@ _BUILDERS = {
     'VoteNet': _build_votenet,
     'SSD3DNet': _build_ssd3d,
     'GroupFree3DNet': _build_groupfree3d,
+    'SASSD': _build_sassd,
 }
 
 

@@ -268,7 +268,9 @@ def _mk_lidar_adapter(kind):
             from ..models.detectors.centerpoint import centerpoint_loss
             losses = centerpoint_loss(outputs, batch, handle.cfg)
             return sum(losses.values()), losses
-        if kind == 'dynamic_voxelnet':
+        if kind == 'sassd':
+            from ..models.detectors.sassd import sassd_loss as fn
+        elif kind == 'dynamic_voxelnet':
             from ..models.detectors.dynamic_voxelnet import \
                 dynamic_voxelnet_loss as fn
         else:
@@ -441,6 +443,7 @@ _ADAPTERS = {
     'VoxelNet': _mk_lidar_adapter('voxelnet'),
     'DynamicVoxelNet': _mk_lidar_adapter('dynamic_voxelnet'),
     'CenterPoint': _mk_lidar_adapter('centerpoint'),
+    'SASSD': _mk_lidar_adapter('sassd'),
     'VoteNet': _mk_votenet_adapter(),
     'SSD3DNet': _mk_ssd3d_adapter(),
     'GroupFree3DNet': _mk_groupfree3d_adapter(),

@@ -41,6 +41,8 @@ TINY = {
     'DynamicVoxelNet': dict(type='DynamicVoxelNet',
                             voxel_size=(3.6, 3.8, 0.5),
                             nms_pre=64, max_num=8),
+    'SASSD': dict(type='SASSD', voxel_size=(3.6, 3.8, 0.5),
+                  nms_pre=64, max_num=8),
     'CenterPoint': dict(type='CenterPoint', voxel_size=(4.4, 4.0, 1.0),
                         encoder_channels=8, second_channels=(16, 32),
                         second_layers=(1, 1), fpn_channels=(16, 16)),
