@@ -31,18 +31,36 @@ def _greedy_suppress(iou, scores, iou_threshold):
         keep: (N,) bool mask of surviving boxes.
     """
     n = scores.shape[0]
+    unroll = 16 if n % 16 == 0 else 1
     order = jnp.argsort(-scores)
     iou_sorted = iou[order][:, order]
+    idx = jnp.arange(n)
 
-    def body(i, keep):
+    def step(i, keep):
         # box i survives iff no earlier kept box overlaps it
-        sup = (iou_sorted[:, i] > iou_threshold) & keep
-        sup = jnp.where(jnp.arange(n) < i, sup, False)
-        keep_i = ~jnp.any(sup)
-        return keep.at[i].set(keep[i] & keep_i)
+        sup = (iou_sorted[:, i] > iou_threshold) & keep & (idx < i)
+        return keep.at[i].set(keep[i] & ~jnp.any(sup))
 
-    keep_sorted = jax.lax.fori_loop(
-        0, n, body, jnp.isfinite(scores[order]))
+    def body(ib, keep):
+        for u in range(unroll):       # static unroll: fewer, fatter
+            keep = step(ib * unroll + u, keep)   # loop iterations
+        return keep
+
+    # dead candidates (score -inf) sort last and start keep=False, so
+    # iterating past the live count is a no-op -> bound the loop by it
+    alive = jnp.sum(jnp.isfinite(scores)).astype(jnp.int32)
+    n_iter = (alive + unroll - 1) // unroll
+
+    def cond(state):
+        ib, _ = state
+        return ib < n_iter
+
+    def wbody(state):
+        ib, keep = state
+        return ib + 1, body(ib, keep)
+
+    _, keep_sorted = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), jnp.isfinite(scores[order])))
     # scatter back to original order
     keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
     return keep

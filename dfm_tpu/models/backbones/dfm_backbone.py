@@ -24,7 +24,7 @@ from ...ops.band_volume import (band_add, band_conv3, band_from_const,
                                 dual_conv3)
 from ...ops.cost_volume import build_plane_sweep_cost
 from ...ops.reduced_depth import make_reduced_plan
-from ..layers import Conv3DSum, ConvNorm, Hourglass
+from ..layers import Conv3DSum, ConvNorm, Hourglass, fold_gn_apply
 
 
 class _ConvKernel(nn.Module):
@@ -100,10 +100,9 @@ class DualConvNorm(nn.Module):
         g = _gn_groups(self.features, self.groups)
         b = x.shape[0]
         xx = x.reshape(b, -1, g, self.features // g).astype(jnp.float32)
-        mean = xx.mean(axis=(1, 3), keepdims=True)
-        var = ((xx - mean) ** 2).mean(axis=(1, 3), keepdims=True)
-        xx = (xx - mean) * jax.lax.rsqrt(var + 1e-5)
-        x = (xx.reshape(x.shape) * scale + bias).astype(self.dtype)
+        mean = xx.mean(axis=(1, 3))
+        var = (xx * xx).mean(axis=(1, 3)) - mean * mean
+        x = fold_gn_apply(x, mean, var, scale, bias)
         return nn.relu(x)
 
 
@@ -161,13 +160,11 @@ def _weighted_gn(x, mult, scale, bias, num_groups, dtype, eps=1e-5):
     xx = x.reshape(b, d, h * w, g, c // g).astype(jnp.float32)
     m = jnp.asarray(mult, jnp.float32)[None, :, None, None, None]
     cnt = float(np.sum(mult)) * h * w * (c // g)
-    s = (xx * m).sum(axis=(1, 2, 4), keepdims=True)
-    s2 = (xx * xx * m).sum(axis=(1, 2, 4), keepdims=True)
+    s = (xx * m).sum(axis=(1, 2, 4))
+    s2 = (xx * xx * m).sum(axis=(1, 2, 4))
     mean = s / cnt
     var = s2 / cnt - mean ** 2
-    xx = (xx - mean) * jax.lax.rsqrt(var + eps)
-    xx = xx.reshape(x.shape)
-    return (xx * scale + bias).astype(dtype)
+    return fold_gn_apply(x, mean, var, scale, bias, eps).astype(dtype)
 
 
 class RedConvNorm(nn.Module):

@@ -245,7 +245,10 @@ def separable_sem_sample(sem, u, v, pad_shape, valid2d):
     t = _mm('szh,hwc->szwc', mv, sem, fast)
     out = _mm('szwc,syw->szyc', t, mu, fast)
     out = out.transpose(1, 2, 0, 3)                         # (nz, ny, nx, c)
-    return (out * valid2d[..., None]).astype(sem.dtype)
+    # cast BEFORE the mask multiply: the f32 einsum result otherwise
+    # crosses the kernel-cond boundary as a 214 MB f32 materialization
+    # (seen in the r3 xplane trace)
+    return out.astype(sem.dtype) * valid2d[..., None].astype(sem.dtype)
 
 
 def build_fine_softmax_volume(cost, up_factor, pad_shape,

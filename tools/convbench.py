@@ -136,6 +136,76 @@ def main():
             print(f'{v:8s} c={cin:3d} {d}x{h}x{w}: {t * 1e3:7.2f} ms '
                   f'{flops / t / 1e12:6.1f} TFLOP/s')
             continue
+        elif v.startswith('wgroup'):
+            # regroup W into lanes: (D,H,W,C) -> (D,H,W/g,gC) — a FREE
+            # reshape (W,C are the two trailing contiguous axes, unlike
+            # zgroup's transpose). The 3x3x3 conv becomes a 3x3x3 conv
+            # over w-groups with a dense (gC -> gC) weight carrying a
+            # banded-zero pattern: g x redundant FLOPs, full-width lanes.
+            g = int(v[6:] or 2)
+            wg = w // g
+            kk = np.zeros((3, 3, 3, g * cin, g * cout), np.float32)
+            kf = np.asarray(k, np.float32)
+            for j in range(g):          # output slice within group
+                for t in range(3):      # w-group tap
+                    for r in range(g):  # input slice within group
+                        dx = (t - 1) * g + r - j + 1
+                        if 0 <= dx < 3:
+                            kk[:, :, t, r * cin:(r + 1) * cin,
+                               j * cout:(j + 1) * cout] = kf[:, :, dx]
+            kk = jnp.asarray(kk).astype(jnp.bfloat16)
+            flops_g = 2 * d * h * wg * 27 * (g * cin) * (g * cout)
+
+            def f(x, kk, g=g, wg=wg):
+                xg = x.reshape(1, d, h, wg, g * cin)
+                o = jax.lax.conv_general_dilated(
+                    xg, kk, (1, 1, 1), [(1, 1)] * 3,
+                    dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+                    preferred_element_type=jnp.float32)
+                return o.astype(jnp.bfloat16)
+            t = chain_time(f, (x, kk))
+            print(f'{v:8s} c={cin:3d} {d}x{h}x{w}: {t * 1e3:7.2f} ms '
+                  f'{flops / t / 1e12:6.1f} TFLOP/s useful '
+                  f'({flops_g / t / 1e12:6.1f} dense)')
+            continue
+        elif v.startswith('wzcat'):
+            # wgroup + z-cat: z-shifts widen the contraction 3x, W-groups
+            # widen both operands g x -> one (3,3) 2D conv with
+            # (3*g*cin -> g*cout) dense weight.
+            g = int(v[5:] or 2)
+            wg = w // g
+            kf = np.asarray(k, np.float32)
+            kk = np.zeros((3, 3, 3 * g * cin, g * cout), np.float32)
+            for j in range(g):
+                for t in range(3):
+                    for r in range(g):
+                        dx = (t - 1) * g + r - j + 1
+                        if 0 <= dx < 3:
+                            for dz in range(3):
+                                ci = (r * 3 + dz) * cin
+                                kk[:, t, ci:ci + cin,
+                                   j * cout:(j + 1) * cout] = kf[dz, :, dx]
+            kk = jnp.asarray(kk).astype(jnp.bfloat16)
+            flops_g = 2 * d * h * wg * 9 * (3 * g * cin) * (g * cout)
+
+            def f(x, kk, g=g, wg=wg):
+                xg = x.reshape(1, d, h, wg, g * cin)
+                xp = jnp.pad(xg, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+                cat = jnp.concatenate(
+                    [xp[:, dz:dz + d] for dz in range(3)], axis=-1)
+                # lane order per group slot r: (r, dz, cin) — rearrange
+                cat = cat.reshape(d, h, wg, 3, g, cin).transpose(
+                    0, 1, 2, 4, 3, 5).reshape(d, h, wg, 3 * g * cin)
+                o = jax.lax.conv_general_dilated(
+                    cat, kk, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=dn2,
+                    preferred_element_type=jnp.float32)
+                return o.astype(jnp.bfloat16)
+            t = chain_time(f, (x, kk))
+            print(f'{v:8s} c={cin:3d} {d}x{h}x{w}: {t * 1e3:7.2f} ms '
+                  f'{flops / t / 1e12:6.1f} TFLOP/s useful '
+                  f'({flops_g / t / 1e12:6.1f} dense)')
+            continue
         elif v == 'conv2d':
             big_c = 128
             x2 = jnp.asarray(rng.randn(1, d * h // 4, w, big_c)
