@@ -149,6 +149,56 @@ def kitti_dfm_eval(args, cfg, handle):
                 print(f'{k}: {res[k]:.4f}')
 
 
+def indoor_real_eval(args, cfg, handle, adapter):
+    """Restore -> infer -> indoor AP_0.25/0.5 for the VoteNet family
+    on SUN RGB-D / ScanNet infos (reference tools/test.py ->
+    dataset.evaluate -> indoor_eval)."""
+    import jax
+    import jax.numpy as jnp
+    from dfm_tpu.data.indoor import ScanNetDataset, SUNRGBDDataset
+    d = cfg.data
+    cls = {'SUNRGBDDataset': SUNRGBDDataset,
+           'ScanNetDataset': ScanNetDataset}[d.type]
+    stem = 'sunrgbd' if 'SUNRGBD' in d.type else 'scannet'
+    ds = cls(d.data_root,
+             os.path.join(d.data_root, f'{stem}_infos_val.pkl'),
+             train=False, num_points=d.get('num_points', None),
+             max_gt=d.get('max_gt', 64))
+    s0 = ds.get_sample(0)
+    pts0 = jnp.asarray(s0['points'])[None]
+    variables = handle.module.init(jax.random.PRNGKey(0), pts0,
+                                   train=False)
+    variables = restore_variables(args, variables)
+
+    @jax.jit
+    def infer(variables, pts):
+        out = handle.module.apply(variables, pts, train=False)
+        return out
+
+    n = min(len(ds), args.max_samples or len(ds))
+    results = []
+    for i in range(n):
+        s = ds.get_sample(i)
+        out = infer(variables, jnp.asarray(s['points'])[None])
+        det = adapter.predict(handle, out, dict(points=None))
+        det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
+        results.append(dict(boxes3d=det0['boxes3d'],
+                            scores=det0['scores'],
+                            labels=det0['labels'],
+                            mask=det0.get('mask',
+                                          det0['labels'] >= 0)))
+        print(f'[{i + 1}/{n}] dets={int(results[-1]["mask"].sum())}',
+              flush=True)
+    res = ds.evaluate(results)
+    for k in sorted(res):
+        if k.startswith('mAP') or k.startswith('mAR'):
+            print(f'{k}: {res[k]:.4f}')
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+
+
 def main():
     args = parse_args()
     from dfm_tpu.utils.env import setup_platform
@@ -163,8 +213,12 @@ def main():
     print(f'[model] {handle.type} via registry')
 
     data_root = cfg.data.get('data_root', '') if 'data' in cfg else ''
+    dtype_name = cfg.data.get('type', '') if 'data' in cfg else ''
+    info = {'SUNRGBDDataset': 'sunrgbd_infos_val.pkl',
+            'ScanNetDataset': 'scannet_infos_val.pkl'}.get(
+                dtype_name, 'kitti_infos_val.pkl')
     have_data = bool(data_root) and os.path.exists(
-        os.path.join(data_root, 'kitti_infos_val.pkl'))
+        os.path.join(data_root, info))
 
     if args.synthetic or not have_data:
         if not args.synthetic:
@@ -175,6 +229,9 @@ def main():
 
     if handle.type in ('DfM', 'DfMFull'):
         kitti_dfm_eval(args, cfg, handle)
+        return
+    if dtype_name in ('SUNRGBDDataset', 'ScanNetDataset'):
+        indoor_real_eval(args, cfg, handle, adapter)
         return
     print(f'[data] no real-data eval wired for {handle.type}; running '
           'synthetic eval smoke')

@@ -141,10 +141,57 @@ class KittiDfMSource:
         return build_batch(samples, BatchMeta)
 
 
+class IndoorSource:
+    """SUN RGB-D / ScanNet -> VoteNet-family batches."""
+
+    def __init__(self, cfg, batch_size, train=True):
+        from dfm_tpu.data.indoor import ScanNetDataset, SUNRGBDDataset
+        d = cfg.data
+        cls = {'SUNRGBDDataset': SUNRGBDDataset,
+               'ScanNetDataset': ScanNetDataset}[d.type]
+        stem = 'sunrgbd' if 'SUNRGBD' in d.type else 'scannet'
+        split = 'train' if train else 'val'
+        self.ds = cls(d.data_root,
+                      os.path.join(d.data_root,
+                                   f'{stem}_infos_{split}.pkl'),
+                      train=train,
+                      num_points=d.get('num_points', None),
+                      max_gt=d.get('max_gt', 64))
+        self.batch_size = batch_size
+        self.order = None
+        self.cursor = 0
+
+    def __len__(self):
+        return len(self.ds)
+
+    @property
+    def steps_per_epoch(self):
+        return max(len(self.ds) // self.batch_size, 1)
+
+    def next_batch(self, step, rng):
+        import jax.numpy as jnp
+        idxs = []
+        while len(idxs) < self.batch_size:
+            if self.order is None or self.cursor >= len(self.order):
+                self.order = rng.permutation(len(self.ds))
+                self.cursor = 0
+            idxs.append(int(self.order[self.cursor]))
+            self.cursor += 1
+        samples = [self.ds.get_sample(i) for i in idxs]
+        return {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in samples[0]}
+
+
+_INDOOR_INFO = {'SUNRGBDDataset': 'sunrgbd_infos_train.pkl',
+                'ScanNetDataset': 'scannet_infos_train.pkl'}
+
+
 def make_data_source(cfg, handle, adapter, batch_size, args):
     data_root = cfg.data.get('data_root', '') if 'data' in cfg else ''
+    dtype_name = cfg.data.get('type', '') if 'data' in cfg else ''
+    info_file = _INDOOR_INFO.get(dtype_name, 'kitti_infos_train.pkl')
     have_data = bool(data_root) and os.path.exists(
-        os.path.join(data_root, 'kitti_infos_train.pkl'))
+        os.path.join(data_root, info_file))
     if args.synthetic or not have_data:
         if not args.synthetic:
             print(f'[data] {data_root!r} not found -> synthetic '
@@ -152,6 +199,8 @@ def make_data_source(cfg, handle, adapter, batch_size, args):
         return SyntheticSource(handle, adapter, batch_size, args.seed)
     if handle.type in ('DfM', 'DfMFull'):
         return KittiDfMSource(cfg, batch_size, train=True)
+    if dtype_name in _INDOOR_INFO:
+        return IndoorSource(cfg, batch_size, train=True)
     print(f'[data] no real-data source wired for {handle.type}; '
           'using synthetic batches')
     return SyntheticSource(handle, adapter, batch_size, args.seed)
