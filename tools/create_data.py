@@ -23,6 +23,10 @@ def main():
     p.add_argument('dataset', choices=['kitti', 'waymo', 'nuscenes'])
     p.add_argument('--root', default='data/kitti')
     p.add_argument('--splits', nargs='*', default=['train', 'val'])
+    p.add_argument('--with-gt-db', action='store_true',
+                   help='also build the cut-and-paste GT database from '
+                        'the train split (reference '
+                        'create_groundtruth_database)')
     args = p.parse_args()
 
     if args.dataset == 'waymo':
@@ -61,6 +65,14 @@ def main():
         with open(out, 'wb') as f:
             pickle.dump(infos, f)
         print(f'wrote {len(infos)} infos -> {out}')
+        if args.with_gt_db and split == 'train':
+            from dfm_tpu.data.dbsampler import create_gt_database
+            from dfm_tpu.data.kitti import KittiDataset
+            ds = KittiDataset(args.root, infos, train=True)
+            db = create_gt_database(
+                infos, args.root, args.root,
+                lambda info: ds._load_points_pl(info))
+            print(f'wrote GT database -> {db}')
 
 
 if __name__ == '__main__':

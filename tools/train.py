@@ -141,6 +141,115 @@ class KittiDfMSource:
         return build_batch(samples, BatchMeta)
 
 
+class KittiLidarSource:
+    """Real KITTI points -> LiDAR-family batches (SECOND/teacher/
+    CenterPoint...), with the reference's cut-and-paste ObjectSample
+    when a GT database exists (configs/_base_/datasets/
+    kitti-3d-3class.py:10-50 pipeline: ObjectSample -> flip 0.5 ->
+    global rot +-pi/4 / scale [0.95, 1.05] -> range filters ->
+    shuffle)."""
+
+    SAMPLE_GROUPS = dict(Car=12, Pedestrian=6, Cyclist=6)
+    MIN_POINTS = dict(Car=5, Pedestrian=10, Cyclist=10)
+
+    def __init__(self, cfg, batch_size, train=True):
+        import pickle
+        from dfm_tpu.data.kitti import KittiDataset
+        d = cfg.data
+        split = 'train' if train else 'val'
+        with open(os.path.join(d.data_root,
+                               f'kitti_infos_{split}.pkl'), 'rb') as f:
+            self.infos = pickle.load(f)
+        self.ds = KittiDataset(d.data_root, self.infos, train=train)
+        self.max_points = d.get('max_points', 18000)
+        self.max_gt = d.get('max_gt', 40)
+        self.pcr = np.asarray(cfg.model.get(
+            'point_cloud_range', (0, -40, -3, 70.4, 40, 1)), np.float32)
+        self.train = train
+        self.batch_size = batch_size
+        self.sampler = None
+        db = os.path.join(d.data_root, 'dfm_gt_database_infos.pkl')
+        if train and os.path.exists(db):
+            from dfm_tpu.data.dbsampler import DataBaseSampler
+            self.sampler = DataBaseSampler(
+                db, d.data_root, self.SAMPLE_GROUPS,
+                classes=['Car', 'Pedestrian', 'Cyclist'],
+                filter_by_min_points=self.MIN_POINTS)
+            print(f'[data] ObjectSample GT database: {db}')
+        self.order = None
+        self.cursor = 0
+
+    def __len__(self):
+        return len(self.infos)
+
+    @property
+    def steps_per_epoch(self):
+        return max(len(self.infos) // self.batch_size, 1)
+
+    def _one(self, idx, rng):
+        from dfm_tpu.data.dbsampler import paste_objects
+        info = self.infos[idx]
+        pts = self.ds._load_points_pl(info)
+        boxes = np.asarray(info['annos']['gt_boxes_pl'],
+                           np.float32).reshape(-1, 7)
+        labels = np.asarray(info['annos']['labels'], np.int64)
+        if pts is None:
+            pts = np.zeros((1, 3), np.float32)
+        if self.train:
+            if self.sampler is not None:
+                pts, boxes, labels = paste_objects(
+                    pts, boxes, labels, self.sampler)
+            if rng.random() < 0.5:                 # horizontal flip
+                pts[:, 1] = -pts[:, 1]
+                boxes[:, 1] = -boxes[:, 1]
+                boxes[:, 6] = -boxes[:, 6]
+            rot = rng.uniform(-0.78539816, 0.78539816)
+            c, s = np.cos(rot), np.sin(rot)
+            mat = np.array([[c, -s], [s, c]], np.float32)
+            pts[:, :2] = pts[:, :2] @ mat.T
+            boxes[:, :2] = boxes[:, :2] @ mat.T
+            boxes[:, 6] += rot
+            scale = rng.uniform(0.95, 1.05)
+            pts[:, :3] *= scale
+            boxes[:, :6] *= scale
+        pcr = self.pcr
+        keep = ((pts[:, 0] >= pcr[0]) & (pts[:, 0] < pcr[3]) &
+                (pts[:, 1] >= pcr[1]) & (pts[:, 1] < pcr[4]) &
+                (pts[:, 2] >= pcr[2]) & (pts[:, 2] < pcr[5]))
+        pts = pts[keep]
+        bkeep = ((boxes[:, 0] >= pcr[0]) & (boxes[:, 0] < pcr[3]) &
+                 (boxes[:, 1] >= pcr[1]) & (boxes[:, 1] < pcr[4]))
+        boxes, labels = boxes[bkeep], labels[bkeep]
+        n = len(pts)
+        out_pts = np.zeros((self.max_points, 3), np.float32)
+        mask = np.zeros((self.max_points,), bool)
+        sel = rng.permutation(n)[:self.max_points]
+        out_pts[:len(sel)] = pts[sel]
+        mask[:len(sel)] = True
+        g = min(len(boxes), self.max_gt)
+        gt_boxes = np.zeros((self.max_gt, 7), np.float32)
+        gt_labels = np.zeros((self.max_gt,), np.int64)
+        gt_mask = np.zeros((self.max_gt,), bool)
+        gt_boxes[:g] = boxes[:g]
+        gt_labels[:g] = labels[:g]
+        gt_mask[:g] = True
+        return dict(points=out_pts, point_mask=mask, gt_boxes=gt_boxes,
+                    gt_labels=gt_labels, gt_mask=gt_mask)
+
+    def next_batch(self, step, rng):
+        import jax.numpy as jnp
+        idxs = []
+        while len(idxs) < self.batch_size:
+            if self.order is None or self.cursor >= len(self.order):
+                self.order = rng.permutation(len(self.infos))
+                self.cursor = 0
+            idxs.append(int(self.order[self.cursor]))
+            self.cursor += 1
+        samples = [self._one(i, rng) for i in idxs]
+        return {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in samples[0]}
+
+
 class IndoorSource:
     """SUN RGB-D / ScanNet -> VoteNet-family batches."""
 
@@ -201,6 +310,9 @@ def make_data_source(cfg, handle, adapter, batch_size, args):
         return KittiDfMSource(cfg, batch_size, train=True)
     if dtype_name in _INDOOR_INFO:
         return IndoorSource(cfg, batch_size, train=True)
+    if handle.type in ('VoxelNet', 'DynamicVoxelNet', 'CenterPoint',
+                       'SASSD') and dtype_name == 'KittiDataset':
+        return KittiLidarSource(cfg, batch_size, train=True)
     print(f'[data] no real-data source wired for {handle.type}; '
           'using synthetic batches')
     return SyntheticSource(handle, adapter, batch_size, args.seed)
