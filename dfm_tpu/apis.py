@@ -122,6 +122,63 @@ def dataset_inference(handle, variables, dataset, max_samples=None):
     return out
 
 
+def multihost_dataset_inference(handle, variables, dataset,
+                                max_samples=None):
+    """multi_gpu_test equivalent: each process infers its strided
+    shard of the dataset, then results are gathered to every host
+    (reference mmdet3d apis `multi_gpu_test` + `collect_results`).
+
+    The gather rides `jax.experimental.multihost_utils`
+    `process_allgather` on the per-sample result pytrees, so it works
+    on any jax.distributed cluster; with one process it degrades to
+    `dataset_inference` exactly.
+
+    Returns the full, dataset-ordered list of results on EVERY host.
+    """
+    import jax
+    nproc = jax.process_count()
+    if nproc == 1:
+        return dataset_inference(handle, variables, dataset, max_samples)
+    from jax.experimental import multihost_utils
+    rng = np.random.default_rng(0)
+    n = min(len(dataset), max_samples or len(dataset))
+    rank = jax.process_index()
+    mine = {}
+    for i in range(rank, n, nproc):
+        sample = dataset.get_sample(i, rng)
+        mine[i] = inference_dfm(handle, variables, sample)
+    shards = allgather_pickled(mine)
+    out = [None] * n
+    for shard in shards:
+        for i, r in shard.items():
+            out[i] = r
+    return out
+
+
+def allgather_pickled(obj):
+    """Gather one arbitrary python object per process to ALL processes.
+
+    Detection counts vary per sample, so the eval gather moves a
+    length-padded pickle buffer (the reference's collect_results_cpu
+    serializes to a shared tmpdir; here it rides the collective).
+
+    Returns list of `process_count` objects, ordered by process index.
+    """
+    import pickle
+
+    import jax
+    from jax.experimental import multihost_utils
+    blob = np.frombuffer(pickle.dumps(obj), np.uint8)
+    length = np.asarray([len(blob)], np.int64)
+    max_len = int(multihost_utils.process_allgather(length).max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[:len(blob)] = blob
+    bufs = multihost_utils.process_allgather(padded)      # (P, max_len)
+    lens = multihost_utils.process_allgather(length)[:, 0]
+    return [pickle.loads(bytes(np.asarray(bufs[p][:int(lens[p])])))
+            for p in range(jax.process_count())]
+
+
 def init_dfm_stream(cfg=None, dtype=None):
     """Streaming DfM video inference with prev-frame feature reuse.
 

@@ -157,6 +157,30 @@ def _build_groupfree3d(mc, dtype):
             groupfree3d_predict)
 
 
+def _build_point_rcnn(mc, dtype):
+    from .detectors.point_rcnn import (PointRCNN, PointRCNNConfig,
+                                       point_rcnn_loss,
+                                       point_rcnn_predict)
+    cfg = _mk_cfg(PointRCNNConfig, mc)
+    return (PointRCNN(cfg=cfg, dtype=dtype), cfg, point_rcnn_loss,
+            point_rcnn_predict)
+
+
+def _build_imvotenet(mc, dtype):
+    from .detectors.imvotenet import (ImVoteNet, ImVoteNetConfig,
+                                      imvotenet_loss, imvotenet_predict)
+    cfg = _mk_cfg(ImVoteNetConfig, mc)
+    return (ImVoteNet(cfg=cfg, dtype=dtype), cfg, imvotenet_loss,
+            imvotenet_predict)
+
+
+def _build_mvx(mc, dtype):
+    from .detectors.mvx_two_stage import (MVXConfig, MVXFasterRCNN,
+                                          mvx_loss, mvx_predict)
+    cfg = _mk_cfg(MVXConfig, mc)
+    return MVXFasterRCNN(cfg=cfg, dtype=dtype), cfg, mvx_loss, mvx_predict
+
+
 def _build_sassd(mc, dtype):
     from .detectors.sassd import (SASSD, SASSDConfig, sassd_loss,
                                   sassd_predict)
@@ -189,6 +213,10 @@ _BUILDERS = {
     'SSD3DNet': _build_ssd3d,
     'GroupFree3DNet': _build_groupfree3d,
     'SASSD': _build_sassd,
+    'PointRCNN': _build_point_rcnn,
+    'ImVoteNet': _build_imvotenet,
+    'MVXFasterRCNN': _build_mvx,
+    'DynamicMVXFasterRCNN': _build_mvx,
 }
 
 

@@ -433,6 +433,97 @@ def _mk_groupfree3d_adapter():
         loss=loss, synthetic_batch=synth, predict=predict)
 
 
+def _mk_point_rcnn_adapter():
+    def loss(handle, outputs, batch, rng):
+        from ..models.detectors.point_rcnn import point_rcnn_loss
+        return point_rcnn_loss(outputs, batch, handle.cfg, rng)
+
+    def predict(handle, outputs, batch):
+        from ..models.detectors.point_rcnn import point_rcnn_predict
+        return point_rcnn_predict(outputs, handle.cfg)
+
+    def synth(handle, b, seed, n=4096):
+        batch = _points_synth(handle, b, seed, n)
+        del batch['point_mask']
+        return batch
+
+    return TrainAdapter(
+        type='PointRCNN', model_args=lambda b: (b['points'],),
+        loss=loss, synthetic_batch=synth, predict=predict)
+
+
+def _mk_imvotenet_adapter():
+    def loss(handle, outputs, batch, rng):
+        from ..models.detectors.imvotenet import imvotenet_loss
+        return imvotenet_loss(outputs, batch, handle.cfg)
+
+    def predict(handle, outputs, batch):
+        from ..models.detectors.imvotenet import imvotenet_predict
+        return imvotenet_predict(outputs, handle.cfg)
+
+    def synth(handle, b, seed, n=256, h=48, w=64, m=6):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        pts = rng.random((b, n, 3)).astype(np.float32) * 6.0
+        g = 4
+        ctr = rng.random((b, g, 3)).astype(np.float32) * 5.0 + 0.5
+        dim = rng.uniform(0.5, 1.2, (b, g, 3)).astype(np.float32)
+        yaw = rng.uniform(-np.pi, np.pi, (b, g, 1)).astype(np.float32)
+        img = rng.integers(0, 255, (b, h, w, 3)).astype(np.float32)
+        boxes2d = np.zeros((b, m, 6), np.float32)
+        boxes2d[:, :3, :4] = rng.uniform(0, 20, (b, 3, 4))
+        boxes2d[:, :3, 2:4] += 20
+        boxes2d[:, :3, 4] = rng.uniform(0.3, 0.9, (b, 3))
+        boxes2d[:, :3, 5] = rng.integers(
+            0, handle.cfg.num_classes, (b, 3))
+        d2i = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+        d2i[:, 0, 0] = d2i[:, 1, 1] = 50.0
+        d2i[:, 0, 2] = w / 2
+        d2i[:, 1, 2] = h / 2
+        return dict(
+            points=jnp.asarray(pts), img=jnp.asarray(img),
+            bboxes_2d=jnp.asarray(boxes2d), depth2img=jnp.asarray(d2i),
+            gt_boxes=jnp.asarray(np.concatenate([ctr, dim, yaw], -1)),
+            gt_labels=jnp.asarray(rng.integers(
+                0, handle.cfg.num_classes, (b, g)).astype(np.int32)),
+            gt_mask=jnp.ones((b, g), bool))
+
+    return TrainAdapter(
+        type='ImVoteNet',
+        model_args=lambda b: (b['points'], b['img'], b['bboxes_2d'],
+                              b['depth2img']),
+        loss=loss, synthetic_batch=synth, predict=predict)
+
+
+def _mk_mvx_adapter(t):
+    def loss(handle, outputs, batch, rng):
+        from ..models.detectors.mvx_two_stage import mvx_loss
+        return mvx_loss(outputs, batch, handle.cfg)
+
+    def predict(handle, outputs, batch):
+        from ..models.detectors.mvx_two_stage import mvx_predict
+        return mvx_predict(outputs, handle.cfg)
+
+    def synth(handle, b, seed, n=512, h=64, w=96):
+        import jax.numpy as jnp
+        batch = _points_synth(handle, b, seed, n)
+        rng = np.random.default_rng(seed + 7)
+        img = rng.random((b, h, w, 3)).astype(np.float32)
+        l2i = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+        l2i[:, 0, 0] = l2i[:, 1, 1] = 40.0
+        l2i[:, 0, 3] = w / 2
+        l2i[:, 1, 3] = h / 2
+        batch['img'] = jnp.asarray(img)
+        batch['lidar2img'] = jnp.asarray(l2i)
+        return batch
+
+    return TrainAdapter(
+        type=t,
+        model_args=lambda b: (b['points'], b['point_mask'], b['img'],
+                              b['lidar2img']),
+        loss=loss, synthetic_batch=synth, predict=predict)
+
+
 _ADAPTERS = {
     'DfM': _mk_dfm_adapter(full=False),
     'DfMFull': _mk_dfm_adapter(full=True),
@@ -446,6 +537,10 @@ _ADAPTERS = {
     'SASSD': _mk_lidar_adapter('sassd'),
     'VoteNet': _mk_votenet_adapter(),
     'SSD3DNet': _mk_ssd3d_adapter(),
+    'PointRCNN': _mk_point_rcnn_adapter(),
+    'ImVoteNet': _mk_imvotenet_adapter(),
+    'MVXFasterRCNN': _mk_mvx_adapter('MVXFasterRCNN'),
+    'DynamicMVXFasterRCNN': _mk_mvx_adapter('DynamicMVXFasterRCNN'),
     'GroupFree3DNet': _mk_groupfree3d_adapter(),
     'ImVoxelNet': _mk_mv_adapter('ImVoxelNet'),
     'MultiViewDfM': _mk_mv_adapter('MultiViewDfM'),

@@ -186,3 +186,7 @@ def test_resnet_block_import_parity():
                     xj, train=False)
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                rtol=1e-4, atol=1e-4)
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow

@@ -113,3 +113,7 @@ def test_dynamic_vs_hard_voxelization_differ():
     np.testing.assert_allclose(hard[0, 0, 0], [0.15, 0.15, 0.15],
                                atol=1e-6)
     assert cnt_d[0, 0, 0] == 4 and cnt_h[0, 0, 0] == 2
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow

@@ -56,3 +56,8 @@ def test_dfm_full_all_losses():
                 'loss_cls2d', 'loss_bbox2d', 'loss_imitation'):
         assert key in losses, key
         assert np.isfinite(float(losses[key])), key
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -212,3 +212,7 @@ def test_depth_head_path():
                                rng=jax.random.PRNGKey(1))
     assert 'loss_dense_depth' in losses
     assert np.isfinite(float(total))
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow

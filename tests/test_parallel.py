@@ -169,3 +169,7 @@ def test_driver_dryrun_multichip():
         os.path.abspath(__file__))))
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+pytestmark = pytest.mark.slow

@@ -102,3 +102,8 @@ def test_smoke_forward_loss_predict():
     det = smoke_predict(outs, jnp.asarray(K)[None], cfg)
     assert det['boxes_cam'].shape == (cfg.topk, 7)
     assert np.isfinite(np.asarray(det['boxes_cam'])).all()
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -74,3 +74,8 @@ def test_sparse_bn_masked_stats():
     np.testing.assert_allclose(
         np.concatenate([np.asarray(y)[0, :5], np.asarray(y)[1]]),
         want, rtol=1e-3, atol=1e-4)
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

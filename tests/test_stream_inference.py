@@ -56,3 +56,8 @@ def test_stream_matches_full_recompute():
                                np.asarray(det_stream['boxes3d']),
                                rtol=1e-4, atol=1e-4)
     assert cache1.shape == cache0.shape
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -64,3 +64,8 @@ def test_linear_parity():
     out = fl.apply({'params': jax.tree.map(jnp.asarray, params)},
                    jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# compile-heavy: full tier only (pytest -m "not slow" skips)
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow
