@@ -181,6 +181,13 @@ def _build_mvx(mc, dtype):
     return MVXFasterRCNN(cfg=cfg, dtype=dtype), cfg, mvx_loss, mvx_predict
 
 
+def _build_parta2(mc, dtype):
+    from .detectors.parta2 import (PartA2, PartA2Config, parta2_loss,
+                                   parta2_predict)
+    cfg = _mk_cfg(PartA2Config, mc)
+    return PartA2(cfg=cfg, dtype=dtype), cfg, parta2_loss, parta2_predict
+
+
 def _build_sassd(mc, dtype):
     from .detectors.sassd import (SASSD, SASSDConfig, sassd_loss,
                                   sassd_predict)
@@ -216,6 +223,7 @@ _BUILDERS = {
     'PointRCNN': _build_point_rcnn,
     'ImVoteNet': _build_imvotenet,
     'MVXFasterRCNN': _build_mvx,
+    'PartA2': _build_parta2,
     'DynamicMVXFasterRCNN': _build_mvx,
 }
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ['sparse_voxelize_mean', 'neighbor_table', 'subm_conv',
+           'inverse_table',
            'sparse_conv_downsample', 'sparse_to_dense', 'unflatten_key',
            'flatten_key']
 
@@ -231,6 +232,40 @@ def sparse_conv_downsample(keys, vmask, grid, stride, padding,
         hit = ok & (keys[slot] == q) & vmask[slot]
         tables.append(jnp.where(hit, slot, -1))
     return out_keys, out_mask, og, jnp.stack(tables)
+
+
+def inverse_table(fine_keys, fine_mask, coarse_keys, coarse_mask,
+                  fine_grid, coarse_grid, stride, padding,
+                  kernel=(3, 3, 3)):
+    """Gather table of a SparseInverseConv3d (U-Net decoder step).
+
+    The inverse conv scatters each coarse site o back over the fine
+    sites i = o*stride - padding + tap; equivalently fine site i
+    GATHERS from o = (i + padding - tap) / stride when divisible.
+    Returns (K, Vf) slot table into `coarse_keys` (-1 = absent), ready
+    for `subm_conv(coarse_feats, table, w)` evaluated at the fine set.
+    """
+    sz, sy, sx = stride
+    pz, py, px = padding
+    kz, ky, kx = kernel
+    z, y, x = unflatten_key(fine_keys, fine_grid)
+    ngz, ngy, ngx = coarse_grid
+    tables = []
+    for dz, dy, dx in _offsets(kernel):
+        tz = z + pz - (dz + kz // 2)
+        ty = y + py - (dy + ky // 2)
+        tx = x + px - (dx + kx // 2)
+        ok = ((tz % sz == 0) & (ty % sy == 0) & (tx % sx == 0) &
+              fine_mask)
+        oz, oy, ox = tz // sz, ty // sy, tx // sx
+        ok = ok & (oz >= 0) & (oz < ngz) & (oy >= 0) & (oy < ngy) & \
+            (ox >= 0) & (ox < ngx)
+        q = jnp.where(ok, flatten_key(oz, oy, ox, coarse_grid), INVALID)
+        slot = jnp.clip(jnp.searchsorted(coarse_keys, q), 0,
+                        coarse_keys.shape[0] - 1)
+        hit = ok & (coarse_keys[slot] == q) & coarse_mask[slot]
+        tables.append(jnp.where(hit, slot, -1))
+    return jnp.stack(tables)
 
 
 def sparse_to_dense(keys, vmask, feats, grid):

@@ -524,6 +524,21 @@ def _mk_mvx_adapter(t):
         loss=loss, synthetic_batch=synth, predict=predict)
 
 
+def _mk_parta2_adapter():
+    def loss(handle, outputs, batch, rng):
+        from ..models.detectors.parta2 import parta2_loss
+        return parta2_loss(outputs, batch, handle.cfg)
+
+    def predict(handle, outputs, batch):
+        from ..models.detectors.parta2 import parta2_predict
+        return parta2_predict(outputs, handle.cfg)
+
+    return TrainAdapter(
+        type='PartA2',
+        model_args=lambda b: (b['points'], b['point_mask']),
+        loss=loss, synthetic_batch=_points_synth, predict=predict)
+
+
 _ADAPTERS = {
     'DfM': _mk_dfm_adapter(full=False),
     'DfMFull': _mk_dfm_adapter(full=True),
@@ -540,6 +555,7 @@ _ADAPTERS = {
     'PointRCNN': _mk_point_rcnn_adapter(),
     'ImVoteNet': _mk_imvotenet_adapter(),
     'MVXFasterRCNN': _mk_mvx_adapter('MVXFasterRCNN'),
+    'PartA2': _mk_parta2_adapter(),
     'DynamicMVXFasterRCNN': _mk_mvx_adapter('DynamicMVXFasterRCNN'),
     'GroupFree3DNet': _mk_groupfree3d_adapter(),
     'ImVoxelNet': _mk_mv_adapter('ImVoxelNet'),
