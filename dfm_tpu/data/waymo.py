@@ -104,28 +104,119 @@ def assemble_multiview_sample(info,
 
 
 class WaymoDataset:
-    """Info-file-backed multi-view dataset."""
+    """Info-file-backed multi-view dataset.
+
+    `load_mode` mirrors the reference's task switches
+    (waymo_dataset.py:88-180):
+      * 'lidar_frame' (default): one sample per frame, all views
+        assembled (MV-DfM / CenterPoint-style);
+      * 'cam_frame': the infos are EXPANDED 5x — one sample per
+        camera, single-view images + that camera's lidar2img and the
+        ground truths visible in it (PGD-Waymo multi-view mono);
+      * 'cam_mono': like cam_frame but camera 0 only.
+    `cam_sync=True` swaps the annotations for the camera-synchronized
+    set (waymo_dataset.py:145-147; used by the cam_sync configs).
+    """
 
     def __init__(self, data_root, info_path_or_list, num_frames=1,
-                 target_hw=(640, 960), num_views=5, max_gt=64):
+                 target_hw=(640, 960), num_views=5, max_gt=64,
+                 load_mode='lidar_frame', cam_sync=False):
+        assert load_mode in ('lidar_frame', 'cam_frame', 'cam_mono')
         self.data_root = data_root
         if isinstance(info_path_or_list, str):
             with open(info_path_or_list, 'rb') as f:
                 self.infos = pickle.load(f)
         else:
             self.infos = info_path_or_list
+        if cam_sync:
+            for info in self.infos:
+                if 'cam_sync_annos' in info:
+                    info['annos'] = info['cam_sync_annos']
+        self.load_mode = load_mode
         self.num_frames = num_frames
         self.target_hw = target_hw
-        self.num_views = num_views
+        self.num_views = num_views if load_mode == 'lidar_frame' else 1
         self.max_gt = max_gt
+        # frame -> per-camera expansion (reference
+        # convert_info_frame2img, waymo_dataset.py:117-138)
+        if load_mode == 'cam_frame':
+            self.cam_index = [(i, v) for i in range(len(self.infos))
+                              for v in range(num_views)]
+        elif load_mode == 'cam_mono':
+            self.cam_index = [(i, 0) for i in range(len(self.infos))]
+        else:
+            self.cam_index = None
 
     def __len__(self):
+        if self.cam_index is not None:
+            return len(self.cam_index)
         return len(self.infos)
 
+    def _cam_info(self, idx):
+        """Single-camera view of a frame info: only that camera's
+        image + projection, gts filtered to boxes whose centers
+        project inside the image."""
+        fi, vi = self.cam_index[idx]
+        info = dict(self.infos[fi])
+        cams = info.get('images', [])
+        if vi < len(cams):
+            info = dict(info, images=[cams[vi]])
+        annos = dict(info.get('annos', {}))
+        if annos.get('gt_boxes') is not None and vi < len(cams) and \
+                len(np.asarray(annos['gt_boxes'])):
+            boxes = np.asarray(annos['gt_boxes'], np.float32)
+            l2i = _pad44(np.asarray(cams[vi]['lidar2img'], np.float64))
+            ctr = np.concatenate(
+                [boxes[:, :3], np.ones((len(boxes), 1))], axis=1)
+            proj = ctr @ l2i.T
+            z = proj[:, 2]
+            uv = proj[:, :2] / np.maximum(z[:, None], 1e-5)
+            h = cams[vi].get('height', self.target_hw[0])
+            w = cams[vi].get('width', self.target_hw[1])
+            vis = (z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < w) & \
+                (uv[:, 1] >= 0) & (uv[:, 1] < h)
+            annos['gt_boxes'] = boxes[vis]
+            annos['labels'] = np.asarray(annos['labels'])[vis]
+            info['annos'] = annos
+        return info
+
     def get_sample(self, idx):
+        if self.cam_index is not None:
+            info = self._cam_info(idx)
+            return assemble_multiview_sample(
+                info, self.data_root, self.num_frames,
+                self.target_hw, 1, self.max_gt)
         return assemble_multiview_sample(
             self.infos[idx], self.data_root, self.num_frames,
             self.target_hw, self.num_views, self.max_gt)
+
+    def merge_multi_view_boxes(self, per_cam_results, nms_thr=0.05,
+                               max_per_frame=100, score_thr=0.001):
+        """Merge one frame's per-camera detections with a global
+        rotated NMS (reference waymo_dataset.py:951-1000)."""
+        import jax.numpy as jnp
+
+        from ..core.nms import nms_bev
+        boxes = np.concatenate(
+            [np.asarray(r['boxes3d']).reshape(-1, 7)
+             for r in per_cam_results], axis=0)
+        scores = np.concatenate(
+            [np.asarray(r['scores']).reshape(-1)
+             for r in per_cam_results], axis=0)
+        labels = np.concatenate(
+            [np.asarray(r['labels']).reshape(-1)
+             for r in per_cam_results], axis=0)
+        valid = scores > score_thr
+        scores = np.where(valid, scores, 0.0)
+        keep = np.asarray(nms_bev(
+            jnp.asarray(boxes[:, [0, 1, 3, 4, 6]]),
+            jnp.asarray(np.where(valid, scores, -np.inf)), nms_thr))
+        keep = keep & valid
+        order = np.argsort(-np.where(keep, scores, -np.inf))
+        sel = order[:max_per_frame]
+        sel = sel[keep[sel]]
+        return dict(boxes3d=boxes[sel], scores=scores[sel],
+                    labels=labels[sel])
 
     # class index -> waymo type id (Car, Pedestrian, Cyclist)
     CLASS_TO_WAYMO_TYPE = (1, 2, 4)

@@ -188,6 +188,13 @@ def _build_parta2(mc, dtype):
     return PartA2(cfg=cfg, dtype=dtype), cfg, parta2_loss, parta2_predict
 
 
+def _build_h3dnet(mc, dtype):
+    from .detectors.h3dnet import (H3DNet, H3DNetConfig, h3dnet_loss,
+                                   h3dnet_predict)
+    cfg = _mk_cfg(H3DNetConfig, mc)
+    return H3DNet(cfg=cfg, dtype=dtype), cfg, h3dnet_loss, h3dnet_predict
+
+
 def _build_sassd(mc, dtype):
     from .detectors.sassd import (SASSD, SASSDConfig, sassd_loss,
                                   sassd_predict)
@@ -224,6 +231,7 @@ _BUILDERS = {
     'ImVoteNet': _build_imvotenet,
     'MVXFasterRCNN': _build_mvx,
     'PartA2': _build_parta2,
+    'H3DNet': _build_h3dnet,
     'DynamicMVXFasterRCNN': _build_mvx,
 }
 

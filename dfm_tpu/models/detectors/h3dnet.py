@@ -1,0 +1,204 @@
+"""H3DNet: geometric-primitive refined indoor detection (flax).
+
+Equivalent of the reference's `H3DNet`
+(mmdet3d/models/detectors/h3dnet.py:10-140) with the primitive heads
+(roi_heads/mask_heads/primitive_head.py: modes 'z' / 'xy' / 'line' —
+per-seed existence flag + vote to the primitive center + primitive
+feature) and the `H3DBboxHead`
+(roi_heads/bbox_heads/h3d_bbox_head.py:118-560): initial VoteNet
+proposals are described by their 6 surface centers + 12 line centers,
+each is matched against the predicted primitive centers with a
+ball-query aggregation, and the matched primitive features refine the
+proposal (residual head + matching score).
+
+Reductions vs the reference, noted for parity review: 2 backbone
+towers instead of 4 (MultiBackbone; configurable), one shared
+primitive-matching radius, and the refinement consumes the
+concatenated matched features directly instead of separate
+surface/line SA modules with matching/semantic sub-scores.
+"""
+
+import dataclasses
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..backbones.pointnet2 import PointNet2SASSG, batched_ball_group
+from .imvotenet import _VoteTower
+from .votenet import VoteNetConfig, votenet_loss, votenet_predict
+
+__all__ = ['H3DNet', 'H3DNetConfig', 'h3dnet_loss', 'h3dnet_predict',
+           'box_surface_line_centers']
+
+
+@dataclasses.dataclass(frozen=True)
+class H3DNetConfig(VoteNetConfig):
+    num_backbones: int = 2            # reference MultiBackbone: 4
+    primitive_radius: float = 0.5
+    primitive_k: int = 8
+    refine_weight: float = 1.0
+    flag_weight: float = 0.5
+    center_weight: float = 0.5
+
+
+def box_surface_line_centers(boxes):
+    """(..., 7) gravity-center boxes -> (..., 6, 3) face centers and
+    (..., 12, 3) edge centers (reference BaseInstance3DBoxes
+    .get_surface_line_center)."""
+    c = boxes[..., :3]
+    d = boxes[..., 3:6]
+    yaw = boxes[..., 6]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+
+    def rot(vec):
+        x = vec[..., 0] * cy - vec[..., 1] * sy
+        y = vec[..., 0] * sy + vec[..., 1] * cy
+        return jnp.stack([x, y, vec[..., 2]], -1)
+
+    zeros = jnp.zeros_like(d[..., 0])
+    hx, hy, hz = d[..., 0] / 2, d[..., 1] / 2, d[..., 2] / 2
+    faces = jnp.stack([
+        jnp.stack([zeros, zeros, hz], -1),
+        jnp.stack([zeros, zeros, -hz], -1),
+        jnp.stack([hx, zeros, zeros], -1),
+        jnp.stack([-hx, zeros, zeros], -1),
+        jnp.stack([zeros, hy, zeros], -1),
+        jnp.stack([zeros, -hy, zeros], -1)], -2)       # (..., 6, 3)
+    lines = []
+    for sx in (1, -1):
+        for sz in (1, -1):
+            lines.append(jnp.stack([sx * hx, zeros, sz * hz], -1))
+    for sy_ in (1, -1):
+        for sz in (1, -1):
+            lines.append(jnp.stack([zeros, sy_ * hy, sz * hz], -1))
+    for sx in (1, -1):
+        for sy_ in (1, -1):
+            lines.append(jnp.stack([sx * hx, sy_ * hy, zeros], -1))
+    lines = jnp.stack(lines, -2)                       # (..., 12, 3)
+    return (c[..., None, :] + rot(faces),
+            c[..., None, :] + rot(lines))
+
+
+class _PrimitiveHead(nn.Module):
+    """Per-seed primitive existence + center vote + feature."""
+    feat_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, seed_xyz, seed_f):
+        x = nn.relu(nn.Dense(128, dtype=self.dtype, name='m0')(seed_f))
+        flag = nn.Dense(2, dtype=self.dtype, name='flag')(x)
+        off = nn.Dense(3 + self.feat_dim, dtype=self.dtype,
+                       name='vote')(x)
+        center = seed_xyz + off[..., :3]
+        return (flag.astype(jnp.float32), center.astype(jnp.float32),
+                off[..., 3:])
+
+
+class H3DNet(nn.Module):
+    cfg: H3DNetConfig = dataclasses.field(default_factory=H3DNetConfig)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        cfg = self.cfg
+        # MultiBackbone: tower features concatenated + fused
+        seeds = []
+        feats = []
+        for t in range(cfg.num_backbones):
+            sx, sf = PointNet2SASSG(dtype=self.dtype,
+                                    name=f'backbone{t}')(
+                                        points.astype(self.dtype), train)
+            seeds.append(sx)
+            feats.append(sf)
+        seed_xyz = seeds[0]
+        seed_f = jnp.concatenate(feats, -1)
+        seed_f = nn.relu(nn.Dense(256, dtype=self.dtype,
+                                  name='fuse')(seed_f))
+
+        initial = _VoteTower(cfg, self.dtype, name='rpn')(seed_xyz,
+                                                          seed_f)
+
+        prims = {}
+        for mode in ('z', 'xy', 'line'):
+            prims[mode] = _PrimitiveHead(dtype=self.dtype,
+                                         name=f'prim_{mode}')(
+                                             seed_xyz, seed_f)
+
+        # decode initial proposals -> surface / line keypoints
+        init_boxes = votenet_predict(initial, cfg)['boxes_3d']
+        init_boxes = jax.lax.stop_gradient(init_boxes)
+        surf, line = box_surface_line_centers(init_boxes)
+
+        prim_xyz = jnp.concatenate([prims[m][1] for m in
+                                    ('z', 'xy', 'line')], axis=1)
+        prim_feat = jnp.concatenate([prims[m][2] for m in
+                                     ('z', 'xy', 'line')], axis=1)
+        kp = jnp.concatenate([surf, line], axis=2)     # (B, P, 18, 3)
+        b, p, nk, _ = kp.shape
+        kp_flat = kp.reshape(b, p * nk, 3)
+        g = batched_ball_group(prim_xyz, prim_feat, kp_flat,
+                               cfg.primitive_radius, cfg.primitive_k)
+        g = nn.relu(nn.Dense(64, dtype=self.dtype, name='match0')(
+            g.astype(self.dtype)))
+        match = g.max(axis=2).reshape(b, p, nk * 64)
+        x = nn.relu(nn.Dense(128, dtype=self.dtype, name='ref0')(match))
+        x = nn.relu(nn.Dense(128, dtype=self.dtype, name='ref1')(x))
+        ref_raw = nn.Dense(
+            2 + 3 + cfg.num_classes * 3 + cfg.num_heading_bins * 2 +
+            cfg.num_classes, dtype=self.dtype, name='ref_out')(x)
+
+        refined = dict(initial)
+        refined['raw'] = initial['raw'] + ref_raw.astype(jnp.float32)
+        return dict(initial=initial, refined=refined, prims=prims,
+                    seed_xyz=seed_xyz)
+
+
+def h3dnet_loss(outputs, batch, cfg: H3DNetConfig):
+    """Initial + refined VoteNet losses + primitive supervision
+    (flags: seeds near a gt face/edge plane; centers: vote distance)."""
+    total, losses = votenet_loss(outputs['initial'], batch, cfg)
+    losses = {f'init_{k}': v for k, v in losses.items()}
+    rt, rl = votenet_loss(outputs['refined'], batch, cfg)
+    total = total + cfg.refine_weight * rt
+    losses.update({f'ref_{k}': v * cfg.refine_weight
+                   for k, v in rl.items()})
+
+    gt = batch['gt_boxes']
+    gt_g = gt.at[..., 2].set(gt[..., 2])     # gravity centers already
+    gmask = batch['gt_mask']
+    surf, line = box_surface_line_centers(gt_g)
+    targets = {'z': surf[..., 0:2, :].reshape(gt.shape[0], -1, 3),
+               'xy': surf[..., 2:6, :].reshape(gt.shape[0], -1, 3),
+               'line': line.reshape(gt.shape[0], -1, 3)}
+    reps = {'z': 2, 'xy': 4, 'line': 12}
+    seed = outputs['seed_xyz']
+    for mode in ('z', 'xy', 'line'):
+        flag, center, _ = outputs['prims'][mode]
+        tgt = targets[mode]
+        tm = jnp.repeat(gmask, reps[mode], axis=-1)
+        d2 = jnp.sum((seed[:, :, None] - tgt[:, None]) ** 2, -1)
+        d2 = jnp.where(tm[:, None], d2, jnp.inf)
+        near = jnp.min(d2, -1)
+        gi = jnp.argmin(d2, -1)
+        pos = (near < 0.3 ** 2) & gmask.any(-1, keepdims=True)
+        w = pos.astype(jnp.float32)
+        npos = jnp.maximum(w.sum(), 1.0)
+        logp = jax.nn.log_softmax(flag, -1)
+        loss_flag = -(w * logp[..., 1] +
+                      (1 - w) * logp[..., 0]).mean()
+        sel = jnp.take_along_axis(tgt, gi[..., None], 1)
+        loss_center = (jnp.linalg.norm(center - sel, axis=-1) *
+                       w).sum() / npos
+        losses[f'prim_{mode}_flag'] = cfg.flag_weight * loss_flag
+        losses[f'prim_{mode}_center'] = cfg.center_weight * loss_center
+        total = total + losses[f'prim_{mode}_flag'] + \
+            losses[f'prim_{mode}_center']
+    return total, losses
+
+
+def h3dnet_predict(outputs, cfg: H3DNetConfig):
+    """Decode the REFINED proposals (reference simple_test)."""
+    return votenet_predict(outputs['refined'], cfg)

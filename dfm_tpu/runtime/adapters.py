@@ -539,6 +539,24 @@ def _mk_parta2_adapter():
         loss=loss, synthetic_batch=_points_synth, predict=predict)
 
 
+def _mk_h3dnet_adapter():
+    def loss(handle, outputs, batch, rng):
+        from ..models.detectors.h3dnet import h3dnet_loss
+        return h3dnet_loss(outputs, batch, handle.cfg)
+
+    def predict(handle, outputs, batch):
+        from ..models.detectors.h3dnet import h3dnet_predict
+        return h3dnet_predict(outputs, handle.cfg)
+
+    # same indoor scene synth as the votenet family
+    def synth(handle, b, seed, n=256):
+        return _ADAPTERS['VoteNet'].synthetic_batch(handle, b, seed, n)
+
+    return TrainAdapter(
+        type='H3DNet', model_args=lambda b: (b['points'],), loss=loss,
+        synthetic_batch=synth, predict=predict)
+
+
 _ADAPTERS = {
     'DfM': _mk_dfm_adapter(full=False),
     'DfMFull': _mk_dfm_adapter(full=True),
@@ -554,6 +572,7 @@ _ADAPTERS = {
     'SSD3DNet': _mk_ssd3d_adapter(),
     'PointRCNN': _mk_point_rcnn_adapter(),
     'ImVoteNet': _mk_imvotenet_adapter(),
+    'H3DNet': _mk_h3dnet_adapter(),
     'MVXFasterRCNN': _mk_mvx_adapter('MVXFasterRCNN'),
     'PartA2': _mk_parta2_adapter(),
     'DynamicMVXFasterRCNN': _mk_mvx_adapter('DynamicMVXFasterRCNN'),

@@ -63,3 +63,59 @@ def test_waymo_dataset(waymo_root):
     assert len(ds) == 2
     s = ds.get_sample(1)
     assert s['imgs'].shape == (1, 3, 128, 192, 3)
+
+
+def test_load_mode_cam_frame_expands(waymo_root):
+    root, infos = waymo_root
+    import copy
+    ds = WaymoDataset(root, copy.deepcopy(infos), num_views=3,
+                      target_hw=(256, 384), load_mode='cam_frame')
+    assert len(ds) == len(infos) * 3
+    s = ds.get_sample(0)
+    assert s['imgs'].shape[1] == 1          # single view
+    # gt filtering: the box at x=5 ahead is visible in some cameras
+    # and not in others (cameras look in 3 directions)
+    vis = [int(ds.get_sample(i)['gt_mask'].sum()) for i in range(3)]
+    assert max(vis) == 1 and min(vis) == 0
+
+
+def test_load_mode_cam_mono(waymo_root):
+    root, infos = waymo_root
+    import copy
+    ds = WaymoDataset(root, copy.deepcopy(infos), num_views=3,
+                      target_hw=(256, 384), load_mode='cam_mono')
+    assert len(ds) == len(infos)
+    assert ds.get_sample(0)['imgs'].shape[1] == 1
+
+
+def test_cam_sync_swaps_annos(waymo_root):
+    root, infos = waymo_root
+    import copy
+    infos2 = copy.deepcopy(infos)
+    for info in infos2:
+        info['cam_sync_annos'] = dict(
+            gt_boxes=np.array([[9.0, 1, 0, 4, 2, 1.6, 0.0]]),
+            labels=np.array([1]), names=['Pedestrian'])
+    ds = WaymoDataset(root, infos2, num_views=3,
+                      target_hw=(256, 384), cam_sync=True)
+    s = ds.get_sample(0)
+    got = s['gt_boxes'][s['gt_mask']]
+    assert abs(float(got[0, 0]) - 9.0) < 1e-5
+
+
+def test_merge_multi_view_boxes(waymo_root):
+    root, infos = waymo_root
+    ds = WaymoDataset(root, list(infos), num_views=3,
+                      target_hw=(256, 384))
+    per_cam = [
+        dict(boxes3d=np.array([[5.0, 0, 0, 4, 2, 1.6, 0.0]]),
+             scores=np.array([0.9]), labels=np.array([0])),
+        dict(boxes3d=np.array([[5.05, 0, 0, 4, 2, 1.6, 0.0],   # dup
+                               [20.0, 5, 0, 4, 2, 1.6, 0.0]]),
+             scores=np.array([0.8, 0.7]), labels=np.array([0, 0])),
+    ]
+    merged = ds.merge_multi_view_boxes(per_cam)
+    # the duplicate is suppressed, two distinct boxes survive
+    assert len(merged['scores']) == 2
+    assert abs(merged['boxes3d'][0, 0] - 5.0) < 1e-4
+    assert abs(merged['boxes3d'][1, 0] - 20.0) < 1e-4

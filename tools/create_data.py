@@ -30,12 +30,13 @@ def main():
     args = p.parse_args()
 
     if args.dataset == 'waymo':
-        # TFRecord -> kitti_format (guarded devkit import)
+        # TFRecord -> kitti_format via the DEVKIT-FREE wire parser
+        # (tools/data_converter/waymo_raw.py)
         raise SystemExit(
             'waymo: run tools/data_converter/waymo_converter.py '
-            '--tfrecord-dir ... --out <root>/kitti_format (requires '
-            'the waymo-open-dataset devkit), then '
-            'tools/create_waymo_gt_bin.py for the eval GT bin')
+            '--tfrecord-dir ... --out <root>/kitti_format (hermetic — '
+            'no devkit needed), then tools/create_waymo_gt_bin.py '
+            'for the eval GT bin')
     if args.dataset == 'nuscenes':
         from dfm_tpu.data.nuscenes_converter import \
             build_nuscenes_mono_infos

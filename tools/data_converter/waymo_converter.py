@@ -50,63 +50,59 @@ def _devkit():
 
 def convert_segment(record_path, out_root, seq_id, prefix='0',
                     save_images=True):
-    """One .tfrecord segment -> kitti_format files + info dicts."""
-    dataset_pb2 = _devkit()
-    import tensorflow as tf
+    """One .tfrecord segment -> kitti_format files + info dicts.
+
+    Devkit-free: frames are decoded by the hand-rolled wire parser
+    (waymo_raw.py, validated against the reference's checked-in mini
+    TFRecord + expected kitti_format infos in tests/test_waymo_raw.py).
+    """
+    from .waymo_raw import (camera_projection, parse_frame,
+                            read_tfrecord)
     infos = []
-    ds = tf.data.TFRecordDataset(record_path, compression_type='')
-    for fi, data in enumerate(ds):
-        frame = dataset_pb2.Frame()
-        frame.ParseFromString(bytearray(data.numpy()))
+    for fi, rec in enumerate(read_tfrecord(record_path)):
+        frame = parse_frame(rec)
         name = f'{prefix}{seq_id:03d}{fi:03d}'
-        info = dict(context=frame.context.name,
-                    timestamp=frame.timestamp_micros,
+        info = dict(context=frame['context_name'],
+                    timestamp=frame['timestamp'],
                     token=name, images={}, calib={}, annos=[])
 
-        pose = np.array(frame.pose.transform, np.float64).reshape(4, 4)
+        pose = frame['pose']
         _write_txt(out_root, 'pose', name, pose.reshape(-1))
         info['pose'] = pose
 
         calib_lines = {}
-        for cc in frame.context.camera_calibrations:
-            cam_idx = cc.name - 1
-            intr = cc.intrinsic
-            p = np.array([[intr[0], 0, intr[2], 0],
-                          [0, intr[1], intr[3], 0],
-                          [0, 0, 1, 0]], np.float64)
-            extr = np.array(cc.extrinsic.transform,
-                            np.float64).reshape(4, 4)
-            calib_lines[f'P{cam_idx}'] = p
-            calib_lines[f'Tr_velo_to_cam_{cam_idx}'] = \
-                np.linalg.inv(extr)
+        for cc in frame['cameras']:
+            cam_idx = cc['name'] - 1
+            p, tr = camera_projection(cc)
+            calib_lines[f'P{cam_idx}'] = p[:3]
+            calib_lines[f'Tr_velo_to_cam_{cam_idx}'] = tr
         info['calib'] = calib_lines
         _write_calib(out_root, name, calib_lines)
 
         if save_images:
-            for img in frame.images:
-                cam_idx = img.name - 1
+            for cam_name, img in frame['images'].items():
+                cam_idx = cam_name - 1
                 d = os.path.join(out_root, 'training',
                                  f'image_{cam_idx}')
                 os.makedirs(d, exist_ok=True)
                 with open(os.path.join(d, name + '.jpg'), 'wb') as f:
-                    f.write(img.image)
+                    f.write(img)
                 info['images'][cam_idx] = \
                     f'training/image_{cam_idx}/{name}.jpg'
 
         annos = []
-        for label in frame.laser_labels:
-            if label.type not in CLASS_MAP:
+        for label in frame['labels']:
+            if label['type'] not in CLASS_MAP:
                 continue
-            b = label.box
+            b = label['box']
             annos.append(dict(
-                name=CLASS_MAP[label.type],
-                box3d=[b.center_x, b.center_y,
-                       b.center_z - b.height / 2, b.width, b.length,
-                       b.height, b.heading],
-                num_points=label.num_lidar_points_in_box,
-                track_id=label.id,
-                most_visible_camera=getattr(
-                    label, 'most_visible_camera_name', '')))
+                name=CLASS_MAP[label['type']],
+                box3d=[b['center_x'], b['center_y'],
+                       b['center_z'] - b['height'] / 2, b['width'],
+                       b['length'], b['height'], b['heading']],
+                num_points=label['num_points'],
+                track_id=label['id'],
+                most_visible_camera=''))
         info['annos'] = annos
         infos.append(info)
     return infos
