@@ -53,8 +53,11 @@ def box_surface_line_centers(boxes):
     cy, sy = jnp.cos(yaw), jnp.sin(yaw)
 
     def rot(vec):
-        x = vec[..., 0] * cy - vec[..., 1] * sy
-        y = vec[..., 0] * sy + vec[..., 1] * cy
+        # vec (..., K, 3); yaw broadcasts over the keypoint axis
+        cy_ = cy[..., None]
+        sy_ = sy[..., None]
+        x = vec[..., 0] * cy_ - vec[..., 1] * sy_
+        y = vec[..., 0] * sy_ + vec[..., 1] * cy_
         return jnp.stack([x, y, vec[..., 2]], -1)
 
     zeros = jnp.zeros_like(d[..., 0])
