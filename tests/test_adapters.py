@@ -114,3 +114,7 @@ def test_one_grad_step(ttype):
         lambda a, b: float(jnp.abs(a - b).max()), state.params,
         state2.params)
     assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+# grad-step sweeps: full tier only (CLI smokes cover the fast path)
+pytestmark = pytest.mark.slow

@@ -190,3 +190,36 @@ def test_resnet_block_import_parity():
 
 # compile-heavy: full tier only (pytest -m "not slow" skips)
 pytestmark = pytest.mark.slow
+
+
+def test_import_dfm_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """The parity CLI drives .pth -> audit -> import -> tap table ->
+    save on a saved torch-replica state_dict (VERDICT r2 item 4)."""
+    import sys
+    cfg_file = tmp_path / 'tiny_dfm.py'
+    cfg_file.write_text(
+        "model = dict(type='DfM', depth_num_bins=16,\n"
+        "             voxel_size=(7.2, 7.6, 1.0), nms_pre=64,\n"
+        "             max_num=8)\n")
+    # torch replica state_dict with the reference key layout
+    _, _, variables, _, _ = _tiny_dfm_template()
+    shapes = CI.expected_torch_shapes(variables)
+    rng = np.random.RandomState(0)
+    sd = {k: torch.from_numpy((rng.randn(*s) * 0.05).astype(np.float32))
+          for k, s in shapes.items()}
+    pth = tmp_path / 'replica.pth'
+    torch.save({'state_dict': sd}, str(pth))
+
+    sys.path.insert(0, '/root/repo')
+    from tools.model_converters import import_dfm
+    monkeypatch.setattr(sys, 'argv', [
+        'import_dfm.py', str(pth), '--config', str(cfg_file),
+        '--image-hw', '32', '64', '--out', str(tmp_path / 'flax_ckpt')])
+    import_dfm.main()
+    out = capsys.readouterr().out
+    assert 'missing: 0' in out
+    assert 'shape-mismatched: 0' in out
+    assert 'strict import OK' in out
+    assert 'depth_cost' in out and 'bev_feat' in out
+    assert 'decoded:' in out
+    assert (tmp_path / 'flax_ckpt').exists()

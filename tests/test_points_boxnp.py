@@ -91,3 +91,52 @@ def test_corners_and_projection():
     uv = B.boxes3d_to_corners2d_image(cam_boxes, cam2img)
     assert uv.shape == (1, 8, 2)
     assert np.isfinite(uv).all()
+
+
+def test_corner_to_surfaces_and_points_in_surfaces():
+    from dfm_tpu.core.box_np_ops import (corner_to_surfaces_3d,
+                                         corners_3d, points_in_rbbox,
+                                         points_in_surfaces)
+    rng = np.random.RandomState(0)
+    boxes = np.stack([
+        np.array([1.0, 2.0, 0.0, 2.0, 3.0, 1.5, 0.4], np.float32),
+        np.array([-4.0, 1.0, -1.0, 1.0, 1.0, 2.0, -0.7], np.float32)])
+    pts = rng.uniform(-6, 6, (400, 3)).astype(np.float32)
+    surfaces = corner_to_surfaces_3d(corners_3d(boxes))
+    got = points_in_surfaces(pts, surfaces)
+    want = points_in_rbbox(pts, boxes)
+    assert (got == want).all()
+
+
+def test_projection_matrix_to_crt_roundtrip():
+    from dfm_tpu.core.box_np_ops import projection_matrix_to_CRT_kitti
+    c = np.array([[720.0, 0, 600], [0, 720, 180], [0, 0, 1]])
+    r = np.eye(3)
+    t = np.array([0.05, -0.01, 0.3])
+    p = c @ np.concatenate([r, t[:, None]], axis=1)
+    c2, r2, t2 = projection_matrix_to_CRT_kitti(p)
+    np.testing.assert_allclose(c2, c, atol=1e-6)
+    np.testing.assert_allclose(r2, r, atol=1e-6)
+    np.testing.assert_allclose(t2, t, atol=1e-6)
+
+
+def test_remove_outside_points_keeps_infield():
+    from dfm_tpu.core.box_np_ops import remove_outside_points
+    p2 = np.array([[700.0, 0, 600, 0], [0, 700, 180, 0],
+                   [0, 0, 1, 0]])
+    rect = np.eye(4)
+    trv2c = np.eye(4)[:3]
+    # z-forward camera points: one in front center, one behind
+    pts = np.array([[0.0, 0.0, 10.0], [0.0, 0.0, -5.0],
+                    [50.0, 0.0, 10.0]], np.float32)
+    kept = remove_outside_points(pts, rect, trv2c, p2, (360, 1200))
+    assert len(kept) == 1 and kept[0, 2] == 10.0
+
+
+def test_rbbox2d_to_near_bbox():
+    from dfm_tpu.core.box_np_ops import rbbox2d_to_near_bbox
+    r = np.array([[0, 0, 4, 2, 0.0], [0, 0, 4, 2, np.pi / 2]],
+                 np.float32)
+    nb = rbbox2d_to_near_bbox(r)
+    np.testing.assert_allclose(nb[0], [-2, -1, 2, 1])
+    np.testing.assert_allclose(nb[1], [-1, -2, 1, 2])

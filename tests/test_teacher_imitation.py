@@ -1,5 +1,6 @@
 """LiDAR teacher + imitation subsystem tests."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -91,3 +92,7 @@ def test_dfm_with_teacher_end_to_end():
     assert np.isfinite(float(total))
     assert 'loss_imitation' in losses
     assert float(losses['loss_imitation']) > 0
+
+
+# compile-heavy: full tier only
+pytestmark = pytest.mark.slow
