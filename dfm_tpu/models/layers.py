@@ -50,16 +50,26 @@ class Conv3DSum(nn.Module):
             'kernel', nn.initializers.lecun_normal(),
             (kz, ky, kx, cin, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
-        # z-shifted 2D decomposition for NARROW stride-1 convs: measured
-        # on v5e at DfM cost-volume shapes (72x80x320, 3^3, bf16):
-        #   C32 zsum 4.4 ms vs direct 6.6 (the 32-wide contraction
-        #   starves XLA's direct tiling); C64 direct 47.8 TF/s beats
-        #   zsum 46.7 and at hourglass half-res 97.9 vs 54.9 TF/s.
-        # STRIDED convs also regress under the decomposition (strided
-        # z-slices force relayouts; hourglass 7.8 -> 12.7 ms).
-        # => direct for bf16 when strided or cin >= 64.
-        if self.dtype == jnp.bfloat16 and (self.strides != (1, 1, 1)
-                                           or cin >= 64):
+        # bf16 lowering matrix (v5e, tools/convbench.py + round-3 A/B):
+        #   * stride-1 3^3 with W % g == 0: W-GROUP lane packing —
+        #     (W, C) -> (W/g, gC) is a FREE reshape and a banded-zero
+        #     (gC -> g*C_out) kernel computes the conv EXACTLY at full
+        #     MXU lane occupancy. C32 g=4: 3.9 ms vs zsum 4.4 vs
+        #     direct 7.0; C64->32 g=2: 6.4 vs 11.4 (voxel-conv shape).
+        #   * otherwise XLA direct (decomposed forms force relayouts
+        #     on strided convs: hourglass 7.8 -> 12.7 ms).
+        # f32 keeps the z-shifted decomposition below (CPU/tests).
+        if self.dtype == jnp.bfloat16 and (kz, ky, kx) == (3, 3, 3) \
+                and self.strides == (1, 1, 1):
+            g = 4 if cin <= 32 else 2
+            if cin * g <= 128 and w % g == 0:
+                out = _wgroup_conv3d(x, kernel, g)
+                if self.use_bias:
+                    bias = self.param('bias', nn.initializers.zeros,
+                                      (self.features,), jnp.float32)
+                    out = out + bias.astype(self.dtype)
+                return out
+        if self.dtype == jnp.bfloat16:
             out = jax.lax.conv_general_dilated(
                 x, kernel, (sz, sy, sx),
                 [(kz // 2, kz // 2), (ky // 2, ky // 2),
@@ -93,6 +103,33 @@ class Conv3DSum(nn.Module):
                               (self.features,), jnp.float32)
             out = out + bias.astype(self.dtype)
         return out
+
+
+def _wgroup_conv3d(x, kernel, g):
+    """Exact 3^3 stride-1 conv via W-group lane packing (see the
+    lowering notes in Conv3DSum): output group slot j at group site q
+    reads input slots r of group sites q-1+t through the original tap
+    dx = (t-1)*g + r - j + 1 when 0 <= dx < 3."""
+    b, d, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    blocks = []
+    for t in range(3):
+        rows = []
+        for r in range(g):
+            cols = []
+            for j in range(g):
+                dx = (t - 1) * g + r - j + 1
+                cols.append(kernel[:, :, dx] if 0 <= dx < 3 else
+                            jnp.zeros((3, 3, cin, cout), kernel.dtype))
+            rows.append(jnp.concatenate(cols, axis=-1))
+        blocks.append(jnp.concatenate(rows, axis=-2))
+    kk = jnp.stack(blocks, axis=2)           # (3, 3, 3, g*cin, g*cout)
+    xg = x.reshape(b, d, h, w // g, g * cin)
+    o = jax.lax.conv_general_dilated(
+        xg, kk, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=jnp.float32)
+    return o.reshape(b, d, h, w, cout).astype(x.dtype)
 
 
 class ConvNorm(nn.Module):

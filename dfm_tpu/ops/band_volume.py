@@ -54,10 +54,15 @@ def _conv2d(x, k2d):
 
 
 def _conv3d(x, k):
-    """3x3x3 SAME conv as 3 z-shifted 2D convs (measured 1.5x faster
-    than XLA's direct 3D lowering at DfM volume shapes, v5e bf16 —
-    tools/convbench.py zsum vs direct)."""
+    """3x3x3 SAME conv via the W-group lane packing when eligible
+    (layers._wgroup_conv3d: exact, full MXU lanes — C32 3.9 ms vs
+    zsum 4.4 vs direct 7.0 at DfM shapes), else z-shifted 2D convs."""
     b, d, h, w, cin = x.shape
+    if x.dtype == jnp.bfloat16:
+        g = 4 if cin <= 32 else 2
+        if cin * g <= 128 and w % g == 0:
+            from ..models.layers import _wgroup_conv3d
+            return _wgroup_conv3d(x, k.astype(x.dtype), g)
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):

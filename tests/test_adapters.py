@@ -83,6 +83,42 @@ TINY = {
                          anchor_ranges=((0, -6.4, -1.78, 12.8, 6.4,
                                          -1.78),),
                          nms_pre=64, max_num=8),
+    'PointRCNN': dict(type='PointRCNN', num_proposals=8,
+                      roi_num_points=32, max_num=8,
+                      sa_points=(64, 32, 16, 8),
+                      sa_radii=((0.5, 1.0), (1.0, 2.0), (2.0, 4.0),
+                                (4.0, 8.0)),
+                      sa_samples=((4, 8),) * 4),
+    'ImVoteNet': dict(type='ImVoteNet', num_classes=4,
+                      num_proposals=16,
+                      mean_sizes=tuple((0.8, 0.8, 0.9)
+                                       for _ in range(4))),
+    'H3DNet': dict(type='H3DNet', num_classes=4, num_proposals=16,
+                   num_backbones=2,
+                   mean_sizes=tuple((0.8, 0.8, 0.9)
+                                    for _ in range(4))),
+    'MVXFasterRCNN': dict(type='MVXFasterRCNN', num_classes=3,
+                          point_cloud_range=(0, -8, -3, 16, 8, 1),
+                          voxel_size=(0.8, 0.8, 0.5),
+                          cv_channels=8, bev_channels=16,
+                          img_backbone_depth=18, img_channels=16,
+                          fusion_mid=16,
+                          anchor_ranges=((0, -8, -0.6, 16, 8,
+                                          -0.6),) * 3,
+                          anchor_sizes=((0.8, 0.6, 1.73),
+                                        (1.76, 0.6, 1.73),
+                                        (3.9, 1.6, 1.56)),
+                          nms_pre=64, max_num=8),
+    'PartA2': dict(type='PartA2', num_classes=3,
+                   point_cloud_range=(0, -8, -3, 16, 8, 1),
+                   voxel_size=(0.5, 0.5, 0.5),
+                   sparse_shape=(8, 32, 32), voxel_capacity=256,
+                   unet_base=8, bev_channels=16, num_proposals=8,
+                   roi_grid=4, max_num=8,
+                   anchor_ranges=((0, -8, -0.6, 16, 8, -0.6),) * 3,
+                   anchor_sizes=((0.8, 0.6, 1.73), (1.76, 0.6, 1.73),
+                                 (3.9, 1.6, 1.56)),
+                   nms_pre=64),
 }
 
 
