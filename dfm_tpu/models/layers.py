@@ -50,26 +50,32 @@ class Conv3DSum(nn.Module):
             'kernel', nn.initializers.lecun_normal(),
             (kz, ky, kx, cin, self.features), jnp.float32)
         kernel = kernel.astype(self.dtype)
-        # bf16 lowering matrix (v5e, tools/convbench.py + round-3 A/B):
-        #   * stride-1 3^3 with W % g == 0: W-GROUP lane packing —
-        #     (W, C) -> (W/g, gC) is a FREE reshape and a banded-zero
-        #     (gC -> g*C_out) kernel computes the conv EXACTLY at full
-        #     MXU lane occupancy. C32 g=4: 3.9 ms vs zsum 4.4 vs
-        #     direct 7.0; C64->32 g=2: 6.4 vs 11.4 (voxel-conv shape).
-        #   * otherwise XLA direct (decomposed forms force relayouts
-        #     on strided convs: hourglass 7.8 -> 12.7 ms).
+        # bf16 lowering matrix (v5e, tools/convbench.py + round-3 A/B,
+        # measured IN-MODEL, not just standalone):
+        #   * C32 stride-1 3^3: z-shifted 2D decomposition (zsum,
+        #     below) — 4.4 ms. The W-group lane packing (wgroup4) wins
+        #     standalone (3.9 ms) but the ungroup relayout it forces on
+        #     the consumer (GN/residual want (..., 32) lanes) costs
+        #     ~4 ms per layer in-model: dres1 5.0 -> 9.0. Parked.
+        #   * cin >= 64 stride-1 with W even: W-group g=2 (banded-zero
+        #     (2C -> 2C_out) kernel on the FREE (W/2, 2C) reshape) —
+        #     the voxel conv drops ~1 ms in-model and ~40% standalone.
+        #   * strided: XLA direct (decomposed forms force relayouts;
+        #     hourglass 7.8 -> 12.7 ms under zsum).
         # f32 keeps the z-shifted decomposition below (CPU/tests).
+        # (large planes only: at hourglass half-res XLA direct hits
+        # ~98 TF/s and the W-group relayout would regress it)
         if self.dtype == jnp.bfloat16 and (kz, ky, kx) == (3, 3, 3) \
-                and self.strides == (1, 1, 1):
-            g = 4 if cin <= 32 else 2
-            if cin * g <= 128 and w % g == 0:
-                out = _wgroup_conv3d(x, kernel, g)
-                if self.use_bias:
-                    bias = self.param('bias', nn.initializers.zeros,
-                                      (self.features,), jnp.float32)
-                    out = out + bias.astype(self.dtype)
-                return out
-        if self.dtype == jnp.bfloat16:
+                and self.strides == (1, 1, 1) and cin >= 64 \
+                and cin * 2 <= 128 and w % 2 == 0 and h * w >= 32768:
+            out = _wgroup_conv3d(x, kernel, 2)
+            if self.use_bias:
+                bias = self.param('bias', nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                out = out + bias.astype(self.dtype)
+            return out
+        if self.dtype == jnp.bfloat16 and (self.strides != (1, 1, 1)
+                                           or cin >= 64):
             out = jax.lax.conv_general_dilated(
                 x, kernel, (sz, sy, sx),
                 [(kz // 2, kz // 2), (ky // 2, ky // 2),

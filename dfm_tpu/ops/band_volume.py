@@ -58,11 +58,9 @@ def _conv3d(x, k):
     (layers._wgroup_conv3d: exact, full MXU lanes — C32 3.9 ms vs
     zsum 4.4 vs direct 7.0 at DfM shapes), else z-shifted 2D convs."""
     b, d, h, w, cin = x.shape
-    if x.dtype == jnp.bfloat16:
-        g = 4 if cin <= 32 else 2
-        if cin * g <= 128 and w % g == 0:
-            from ..models.layers import _wgroup_conv3d
-            return _wgroup_conv3d(x, k.astype(x.dtype), g)
+    if x.dtype == jnp.bfloat16 and 64 <= cin <= 64 and w % 2 == 0:
+        from ..models.layers import _wgroup_conv3d
+        return _wgroup_conv3d(x, k.astype(x.dtype), 2)
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
     out = None
     for dz in range(3):
