@@ -12,7 +12,7 @@ from .iou import rotated_iou_3d
 
 __all__ = ['sigmoid_focal_loss', 'smooth_l1_loss', 'softmax_cross_entropy',
            'binary_cross_entropy', 'iou3d_loss', 'weighted_l2_loss',
-           'giou_loss_2d']
+           'giou_loss_2d', 'paconv_regularization_loss']
 
 
 def sigmoid_focal_loss(logits, labels, weights=None, alpha=0.25, gamma=2.0,
@@ -126,3 +126,33 @@ def giou_loss_2d(pred, target, weights=None, avg_factor=None):
     if avg_factor is not None:
         total = total / avg_factor
     return total
+
+
+def paconv_regularization_loss(weight_banks, num_kernels,
+                               reduction='mean', loss_weight=1.0):
+    """Correlation regularizer over PAConv weight banks (reference
+    losses/paconv_regularization_loss.py:10-69): squared upper-triangle
+    cosine similarity between the `num_kernels` kernels of each bank.
+
+    Args:
+        weight_banks: list of (C_in, num_kernels * C_out) arrays.
+        num_kernels: kernels per bank (static).
+        reduction: 'none' | 'sum' | 'mean' over the banks.
+    """
+    def corr(bank):
+        cin, kc = bank.shape
+        k = jnp.reshape(bank, (cin, num_kernels, kc // num_kernels))
+        flat = jnp.transpose(k, (1, 0, 2)).reshape(num_kernels, -1)
+        inner = flat @ flat.T
+        norms = jnp.sqrt(jnp.sum(flat * flat, axis=-1, keepdims=True))
+        cos = inner / jnp.maximum(norms @ norms.T, 1e-12)
+        triu = jnp.triu(cos, k=1)
+        return jnp.sum(triu * triu)
+
+    losses = jnp.stack([corr(b.astype(jnp.float32))
+                        for b in weight_banks])
+    if reduction == 'sum':
+        losses = losses.sum()
+    elif reduction == 'mean':
+        losses = losses.mean()
+    return loss_weight * losses

@@ -259,3 +259,25 @@ def test_shape_aware_head_forward_loss_decode():
                                  max_num=8)
     assert det['boxes3d'].shape == (1, 8, 7)
     assert np.isfinite(np.asarray(det['boxes3d'])).all()
+
+
+def test_export_scene_html(tmp_path):
+    from dfm_tpu.visualization.html_vis import export_scene_html
+    rng = np.random.RandomState(0)
+    pts = rng.randn(500, 4).astype(np.float32) * 5
+    gt = np.array([[0, 0, 0, 2, 4, 1.5, 0.3]], np.float32)
+    pred = np.array([[1, 1, 0, 2, 4, 1.5, -0.2],
+                     [5, 2, 0, 1, 1, 2, 0.0]], np.float32)
+    out = export_scene_html(pts, str(tmp_path / 'scene.html'),
+                            gt_boxes=gt, pred_boxes=pred)
+    html = open(out).read()
+    assert html.startswith('<!DOCTYPE html>')
+    assert 'webgl' in html and 'DATA' in html
+    import json as _json
+    import re
+    blob = re.search(r'const DATA = (\{.*?\});\n', html, re.S).group(1)
+    data = _json.loads(blob)
+    assert len(data['pts']) == 500 * 3
+    # 3 boxes x 12 edges x 2 endpoints x 3 coords
+    assert len(data['lines']) == 3 * 12 * 2 * 3
+    assert len(data['lineCol']) == len(data['lines'])
