@@ -27,7 +27,7 @@ import numpy as np
 from .calibration import Calibration
 
 __all__ = ['parse_calib_file', 'parse_label_file', 'build_kitti_infos',
-           'KittiDataset', 'CLASS_NAMES']
+           'infos_from_reference_pkl', 'KittiDataset', 'CLASS_NAMES']
 
 CLASS_NAMES = ('Car', 'Pedestrian', 'Cyclist')
 SIMILAR_CLS = {'Van': 'Car', 'Person_sitting': 'Pedestrian'}
@@ -129,58 +129,118 @@ def build_kitti_infos(data_root, split_ids, split='training',
         label_file = os.path.join(base, 'label_2', sid + '.txt')
         if os.path.exists(label_file):
             all_objs = parse_label_file(label_file)
-            # EVAL annotations keep every object with its ORIGINAL name:
-            # kitti_eval.clean_data classifies Van/Person_sitting as
-            # ignore-class for Car/Pedestrian and uses DontCare regions
-            # to discount FPs (reference eval protocol). Remapping or
-            # dropping them here would corrupt AP (ADVICE r1).
-            info['annos_eval'] = {
-                'name': np.array([o['name'] for o in all_objs]),
-                'truncated': np.array(
-                    [o['truncated'] for o in all_objs], np.float32),
-                'occluded': np.array(
-                    [o['occluded'] for o in all_objs], np.int64),
-                'alpha': np.array(
-                    [o['alpha'] for o in all_objs], np.float32),
-                'bbox': (np.stack([o['bbox2d'] for o in all_objs])
-                         if all_objs else np.zeros((0, 4), np.float32)),
-                'dimensions': (np.stack([o['dims'] for o in all_objs])
-                               if all_objs else np.zeros((0, 3), np.float32)),
-                'location': (np.stack([o['loc'] for o in all_objs])
-                             if all_objs else np.zeros((0, 3), np.float32)),
-                'rotation_y': np.array(
-                    [o['yaw'] for o in all_objs], np.float32),
-            }
-            # TRAINING GT: drop DontCare, remap similar classes
-            objs = [o for o in all_objs if o['name'] != 'DontCare']
-            names = []
-            for o in objs:
-                n = o['name']
-                if use_similar_cls and n in SIMILAR_CLS:
-                    n = SIMILAR_CLS[n]
-                names.append(n)
-            keep = [i for i, n in enumerate(names) if n in CLASS_NAMES]
-            objs = [objs[i] for i in keep]
-            names = [names[i] for i in keep]
-            if objs:
-                loc = np.stack([o['loc'] for o in objs])
-                dims = np.stack([o['dims'] for o in objs])
-                yaw = np.array([o['yaw'] for o in objs], np.float32)
-                boxes_pl = cam_label_to_pseudo_lidar(loc, dims, yaw)
-            else:
-                boxes_pl = np.zeros((0, 7), np.float32)
-            info['annos'] = {
-                'names': names,
-                'gt_boxes_pl': boxes_pl,
-                'labels': np.array(
-                    [CLASS_NAMES.index(n) for n in names], np.int64),
-                'truncated': np.array(
-                    [o['truncated'] for o in objs], np.float32),
-                'occluded': np.array(
-                    [o['occluded'] for o in objs], np.int64),
-                'bbox2d': (np.stack([o['bbox2d'] for o in objs])
-                           if objs else np.zeros((0, 4), np.float32)),
-            }
+            info['annos_eval'], info['annos'] = _annos_from_objs(
+                all_objs, use_similar_cls)
+        infos.append(info)
+    return infos
+
+
+def _annos_from_objs(all_objs, use_similar_cls=True):
+    """(annos_eval, annos) from a list of camera-frame object dicts.
+
+    EVAL annotations keep every object with its ORIGINAL name:
+    kitti_eval.clean_data classifies Van/Person_sitting as ignore-class
+    for Car/Pedestrian and uses DontCare regions to discount FPs
+    (reference eval protocol). Remapping or dropping them here would
+    corrupt AP (ADVICE r1). TRAINING GT drops DontCare, remaps similar
+    classes, and converts boxes to the pseudo-lidar frame.
+    """
+    annos_eval = {
+        'name': np.array([o['name'] for o in all_objs]),
+        'truncated': np.array(
+            [o['truncated'] for o in all_objs], np.float32),
+        'occluded': np.array(
+            [o['occluded'] for o in all_objs], np.int64),
+        'alpha': np.array(
+            [o['alpha'] for o in all_objs], np.float32),
+        'bbox': (np.stack([o['bbox2d'] for o in all_objs])
+                 if all_objs else np.zeros((0, 4), np.float32)),
+        'dimensions': (np.stack([o['dims'] for o in all_objs])
+                       if all_objs else np.zeros((0, 3), np.float32)),
+        'location': (np.stack([o['loc'] for o in all_objs])
+                     if all_objs else np.zeros((0, 3), np.float32)),
+        'rotation_y': np.array(
+            [o['yaw'] for o in all_objs], np.float32),
+    }
+    objs = [o for o in all_objs if o['name'] != 'DontCare']
+    names = []
+    for o in objs:
+        n = o['name']
+        if use_similar_cls and n in SIMILAR_CLS:
+            n = SIMILAR_CLS[n]
+        names.append(n)
+    keep = [i for i, n in enumerate(names) if n in CLASS_NAMES]
+    objs = [objs[i] for i in keep]
+    names = [names[i] for i in keep]
+    if objs:
+        loc = np.stack([o['loc'] for o in objs])
+        dims = np.stack([o['dims'] for o in objs])
+        yaw = np.array([o['yaw'] for o in objs], np.float32)
+        boxes_pl = cam_label_to_pseudo_lidar(loc, dims, yaw)
+    else:
+        boxes_pl = np.zeros((0, 7), np.float32)
+    annos = {
+        'names': names,
+        'gt_boxes_pl': boxes_pl,
+        'labels': np.array(
+            [CLASS_NAMES.index(n) for n in names], np.int64),
+        'truncated': np.array(
+            [o['truncated'] for o in objs], np.float32),
+        'occluded': np.array(
+            [o['occluded'] for o in objs], np.int64),
+        'bbox2d': (np.stack([o['bbox2d'] for o in objs])
+                   if objs else np.zeros((0, 4), np.float32)),
+    }
+    return annos_eval, annos
+
+
+def infos_from_reference_pkl(pkl_path):
+    """Convert a reference-format (mmdet3d 1.0.0rc3) KITTI info pkl into
+    the framework-native schema — no raw calib/label txts needed.
+
+    The reference stores per-frame dicts with keys image/point_cloud/
+    calib/annos (tools/data_converter/kitti_data_utils.py; consumed by
+    mmdet3d/datasets/kitti_dataset.py:22). Its `annos['dimensions']`
+    rows are camera-frame (l, h, w) — the same order `parse_label_file`
+    produces — and `location`/`rotation_y` are the raw label values, so
+    the objects route through the shared `_annos_from_objs` builder.
+    Frames come back without temporal sweeps (`cam2global=I`, the
+    static-pair fallback of the video pipeline).
+    """
+    with open(pkl_path, 'rb') as f:
+        ref = pickle.load(f)
+    infos = []
+    for r in ref:
+        calib = {
+            'P2': _pad44(np.asarray(r['calib']['P2'], np.float64)[:3, :4]),
+            'R0_rect': np.asarray(
+                r['calib']['R0_rect'], np.float64)[:3, :3],
+            'Tr_velo_to_cam': np.asarray(
+                r['calib']['Tr_velo_to_cam'], np.float64)[:3, :4],
+        }
+        info = {
+            'sample_idx': int(r['image']['image_idx']),
+            'image': {'image_path': str(r['image']['image_path'])},
+            'calib': calib,
+            'velodyne_path': str(
+                r['point_cloud'].get('velodyne_path', '')),
+            'cam2global': np.eye(4),
+            'sweeps': [],
+        }
+        a = r.get('annos')
+        if a is not None:
+            objs = []
+            for i in range(len(a['name'])):
+                objs.append(dict(
+                    name=str(a['name'][i]),
+                    truncated=float(a['truncated'][i]),
+                    occluded=int(a['occluded'][i]),
+                    alpha=float(a['alpha'][i]),
+                    bbox2d=np.asarray(a['bbox'][i], np.float32),
+                    dims=np.asarray(a['dimensions'][i], np.float32),
+                    loc=np.asarray(a['location'][i], np.float32),
+                    yaw=float(a['rotation_y'][i])))
+            info['annos_eval'], info['annos'] = _annos_from_objs(objs)
         infos.append(info)
     return infos
 

@@ -22,9 +22,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.sparse_conv import (INVALID, _offsets, _unique_compact,
-                                flatten_key, neighbor_table, subm_conv,
-                                unflatten_key)
+import numpy as np
+
+from ...ops.sparse_conv import (INVALID, _unique_compact, flatten_key,
+                                neighbor_table, subm_conv, unflatten_key)
 from ..detectors.teacher import SparseBN
 
 __all__ = ['MinkResNet', 'mink_downsample', 'mink_out_grid']
@@ -32,6 +33,17 @@ __all__ = ['MinkResNet', 'mink_downsample', 'mink_out_grid']
 
 def mink_out_grid(grid, stride=2):
     return tuple((int(d) + stride - 1) // stride for d in grid)
+
+
+def _mink_offsets(kernel):
+    """MinkowskiEngine tap offsets: odd kernel dims are centered
+    ({-k//2..k//2}); EVEN dims are forward ({0..k-1}), so a k=2 s=2
+    pool window over output coord o covers inputs {2o, 2o+1} — the
+    same voxels whose `coords // 2` equals o."""
+    rs = [range(k) if k % 2 == 0 else range(-(k // 2), k // 2 + 1)
+          for k in kernel]
+    return np.array([(dz, dy, dx) for dz in rs[0] for dy in rs[1]
+                     for dx in rs[2]], np.int32)
 
 
 def mink_downsample(keys, vmask, grid, stride=2, kernel=(3, 3, 3)):
@@ -55,7 +67,7 @@ def mink_downsample(keys, vmask, grid, stride=2, kernel=(3, 3, 3)):
 
     zo, yo, xo = unflatten_key(out_keys, og)
     tables = []
-    for dz, dy, dx in _offsets(kernel):
+    for dz, dy, dx in _mink_offsets(kernel):
         iz = zo * stride + dz
         iy = yo * stride + dy
         ix = xo * stride + dx

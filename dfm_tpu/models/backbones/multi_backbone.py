@@ -53,8 +53,12 @@ class MultiBackbone(nn.Module):
 
         cat = jnp.concatenate(fp_feats, axis=-1)
         c = cat.shape[-1]
+        # Reference default aggregation_mlp_channels includes the INPUT
+        # width as its first entry ([sum, sum/2, sum/num]) and builds
+        # len-1 convs, so the default tower is sum->sum/2->sum/num —
+        # two layers, not three.
         mlp = tuple(self.aggregation_mlp_channels) or (
-            c, c // 2, c // self.num_streams)
+            c // 2, c // self.num_streams)
         x = cat
         for j, ch in enumerate(mlp):
             x = nn.Dense(ch, dtype=self.dtype, name=f'agg{j}')(x)

@@ -60,8 +60,11 @@ def free_anchor3d_loss(preds,
     j = flat_anchors.shape[0]
     cls_score = cls_score.astype(jnp.float32).reshape(b, j, num_classes)
     bbox_pred = bbox_pred.astype(jnp.float32).reshape(b, j, 7)
+    has_dir = dir_pred is not None          # static: hoisted out of the
     dir_pred = dir_pred.astype(jnp.float32).reshape(b, j, 2) \
-        if dir_pred is not None else None
+        if has_dir else None                # traced fn (a zeros stand-in
+    # is substituted for vmap below, so `dir_i is not None` would
+    # always be True inside and add a constant log(2) dir term)
 
     def single(scores_i, deltas_i, dir_i, gtb, gtl, gtm):
         cls_prob = jax.nn.sigmoid(scores_i)                     # (J, C)
@@ -107,7 +110,7 @@ def free_anchor3d_loss(preds,
         matched_deltas = deltas_i[matched]                      # (G, K, 7)
 
         loss_dir = 0.0
-        if dir_i is not None:
+        if has_dir:
             dir_t = get_direction_target(
                 matched_anchors[..., 6], targets[..., 6], dir_offset)
             logp = jax.nn.log_softmax(dir_i[matched], axis=-1)

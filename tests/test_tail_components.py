@@ -98,6 +98,47 @@ def test_mink_downsample_active_set():
     assert ((g == -1) | ((g >= 0) & (g < keys.shape[0]))).all()
 
 
+def test_mink_pool_matches_dense_maxpool():
+    """k=2 s=2 pool gather tables must cover inputs {2o, 2o+1} per dim
+    (ME even-kernel convention), i.e. pooled features equal a dense
+    max-pool restricted to the active output set."""
+    from dfm_tpu.ops.sparse_conv import unflatten_key
+    from dfm_tpu.models.backbones.mink_resnet import (mink_downsample,
+                                                      mink_out_grid)
+    rng = np.random.RandomState(3)
+    grid = (8, 8, 8)
+    keys, mask, v = _sparse_sample(rng, n=50, grid=grid)
+    feats = rng.randn(keys.shape[0], 4).astype(np.float32)
+
+    ok, om, gat = mink_downsample(keys, mask, grid, kernel=(2, 2, 2))
+    og = mink_out_grid(grid)
+    # every active output gathers at least one valid tap
+    g = np.asarray(gat)
+    assert (g[:, np.asarray(om)] >= 0).any(axis=0).all()
+
+    # dense oracle
+    dense = np.full(grid + (4,), -np.inf, np.float32)
+    z, y, x = (np.asarray(a) for a in unflatten_key(keys, grid))
+    for i in range(v):
+        dense[z[i], y[i], x[i]] = feats[i]
+    want = np.full(og + (4,), -np.inf, np.float32)
+    for zo in range(og[0]):
+        for yo in range(og[1]):
+            for xo in range(og[2]):
+                blk = dense[2 * zo:2 * zo + 2, 2 * yo:2 * yo + 2,
+                            2 * xo:2 * xo + 2]
+                want[zo, yo, xo] = blk.reshape(-1, 4).max(axis=0)
+
+    pooled = np.full((keys.shape[0], 4), -np.inf, np.float32)
+    fz = np.concatenate([feats, np.full((1, 4), -np.inf, np.float32)])
+    for k in range(g.shape[0]):
+        idx = np.where(g[k] >= 0, g[k], keys.shape[0])
+        pooled = np.maximum(pooled, fz[idx])
+    zo, yo, xo = (np.asarray(a) for a in unflatten_key(ok, og))
+    omn = np.asarray(om)
+    np.testing.assert_allclose(pooled[omn], want[zo[omn], yo[omn], xo[omn]])
+
+
 def test_mink_resnet_forward():
     from dfm_tpu.models.backbones.mink_resnet import MinkResNet
     rng = np.random.RandomState(2)
