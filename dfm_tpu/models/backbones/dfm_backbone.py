@@ -54,6 +54,74 @@ def _gn_groups(c, groups):
     return groups if c % groups == 0 and c >= groups else c
 
 
+class _ParamsConvGN(nn.Module):
+    """Parameter holder with ConvNorm's exact tree ('Conv_0/kernel',
+    'GroupNorm_0/{scale,bias}'); returns the raw params."""
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = _ConvKernel((3, 3, 3, self.cin, self.features),
+                        name='Conv_0')()
+        s, b = _GNParams(self.features, name='GroupNorm_0')()
+        return k, s, b
+
+
+def _conv2d_f(x, k):
+    return jax.lax.conv_general_dilated(
+        x[None], k.astype(x.dtype), (1, 1), [(1, 1)] * 2,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        preferred_element_type=jnp.float32)[0]
+
+
+def packed_stereo_stem(cur2d, prev_pv, k0, gn0, k1, gn1, groups,
+                       interpret=False):
+    """dres0 + dres1 of the stereo branch on the z-packed layout
+    (ops/pallas/conv_chain.py): dual conv -> GN -> relu -> conv -> GN ->
+    +residual, all without leaving the packed form; one unpack at the
+    end. Exactly DualConvNorm + ConvNorm(act=False) + residual on the
+    same params. Single-sample inputs.
+
+    Reference semantics: mmdet3d/models/backbones/dfm_backbone.py
+    dres0/dres1 (convbn_3d stacks, :175-186).
+    """
+    from ...ops.pallas.conv_chain import (conv_p2p, dres0_stats_affine,
+                                          unpack_affine_res)
+    c = cur2d.shape[-1]
+    k_cur = k0[..., :c, :]
+    k_prev = k0[..., c:, :]
+    ci = _conv2d_f(cur2d, k_cur.sum(axis=0))
+    clo = ci - _conv2d_f(cur2d, k_cur[0])
+    chi = ci - _conv2d_f(cur2d, k_cur[2])
+    u0, ps0 = conv_p2p(prev_pv, k_prev, interpret=interpret)   # phase 2
+    y0 = dres0_stats_affine(u0, ps0, ci, clo, chi, gn0[0], gn0[1], groups)
+    u1, ps1 = conv_p2p(y0, k1, interpret=interpret)            # phase 0
+    return unpack_affine_res(u1, ps1, gn1[0], gn1[1], groups, res_pv=y0,
+                             interpret=interpret)
+
+
+class PackedPred(nn.Module):
+    """DepthPredModule on the packed layout: pack -> conv+GN+relu ->
+    unpack -> scalar conv. Tree matches DepthPredModule
+    ('ConvNorm_0' + 'Conv_0'). Single-sample input (D, H, W, C)."""
+    cv: int = 32
+    dtype: Any = jnp.bfloat16
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, feats):
+        from ...ops.pallas.conv_chain import (conv_p2p, pack_vol,
+                                              unpack_affine_res)
+        k, s, b = _ParamsConvGN(self.cv, self.cv, name='ConvNorm_0')()
+        pv = pack_vol(feats.astype(self.dtype), phase=2,
+                      interpret=self.interpret)
+        u, ps = conv_p2p(pv, k, interpret=self.interpret)    # phase 0
+        x = unpack_affine_res(u, ps, s, b, _gn_groups(self.cv, 32),
+                              relu=True, interpret=self.interpret)
+        return Conv3DScalar(dtype=self.dtype, name='Conv_0')(x[None])[0]
+
+
 class BandConvNorm(nn.Module):
     """ConvNorm(3^3, GN) on a depth-banded volume (exact D-constant
     shortcut; see ops/band_volume.py). Parameter tree is identical to
@@ -299,6 +367,16 @@ class DfMBackbone(nn.Module):
         csf = self.cost_sample_factor
         banded = (self.use_band and self.norm == 'gn'
                   and float(csf) == float(int(csf)))
+        # z-packed Pallas conv chain for the full-res stereo stem + pred
+        # (ops/pallas/conv_chain.py). Inference-only (no custom VJP yet);
+        # DFM_PACKED=0 disables, DFM_PACKED=interpret forces the
+        # interpreter (CPU equivalence tests).
+        import os
+        packed_env = os.environ.get('DFM_PACKED', '1')
+        packed_interp = packed_env == 'interpret'
+        packed = (banded and not train and packed_env != '0'
+                  and self.dtype == jnp.bfloat16
+                  and (packed_interp or jax.default_backend() == 'tpu'))
 
         def hg_stack(cur, tag):
             for i in range(self.num_hg):
@@ -318,12 +396,45 @@ class DfMBackbone(nn.Module):
             cur2d = cur2d.astype(self.dtype)
             prev_vol = prev_vol.astype(self.dtype)
             d = prev_vol.shape[1]
-            # stereo stem: conv of [cur_bcast || prev] without the bcast
-            s0 = DualConvNorm(self.cv_channels, dtype=self.dtype,
-                              name='dres0_stereo')(cur2d, prev_vol)
-            s0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
-                          act=False, dtype=self.dtype,
-                          name='dres1_stereo')(s0, train) + s0
+            b_, _, hq, wq, _ = prev_vol.shape
+            packed = (packed and d % 4 == 0 and hq % 8 == 0
+                      and wq % 16 == 0)
+            if packed:
+                from ...ops.pallas.conv_chain import pack_vol
+                c_in = cur2d.shape[-1]
+                k0, s0s, s0b = _ParamsConvGN(
+                    2 * c_in, self.cv_channels, name='dres0_stereo')()
+                k1, s1s, s1b = _ParamsConvGN(
+                    self.cv_channels, self.cv_channels,
+                    name='dres1_stereo')()
+                g = _gn_groups(self.cv_channels, 32)
+
+                def _stem(args):
+                    cur_i, prev_i = args
+                    pv = pack_vol(prev_i, phase=0,
+                                  interpret=packed_interp)
+                    return packed_stereo_stem(
+                        cur_i, pv, k0, (s0s, s0b), k1, (s1s, s1b), g,
+                        interpret=packed_interp)
+
+                def _zeros(args):
+                    return jnp.zeros(prev_vol.shape[1:], self.dtype)
+
+                # lax.cond wrapper (always true for finite inputs):
+                # a TOP-LEVEL Mosaic call forces XLA into a conservative
+                # whole-program schedule (NOTES.md round-2); the cond
+                # isolates the kernel chain's schedule.
+                s0 = jnp.stack([
+                    jax.lax.cond(jnp.isfinite(prev_vol[i, 0, 0, 0, 0]),
+                                 _stem, _zeros, (cur2d[i], prev_vol[i]))
+                    for i in range(b_)])
+            else:
+                # stereo stem: conv of [cur_bcast || prev], no bcast
+                s0 = DualConvNorm(self.cv_channels, dtype=self.dtype,
+                                  name='dres0_stereo')(cur2d, prev_vol)
+                s0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
+                              act=False, dtype=self.dtype,
+                              name='dres1_stereo')(s0, train) + s0
             stereo_feats = hg_stack(s0, 'stereo')
             # mono stem: fully banded (input is D-constant)
             m0 = BandConvNorm(self.cv_channels, dtype=self.dtype,
@@ -366,8 +477,19 @@ class DfMBackbone(nn.Module):
             mono_red = mono_plan = None
 
         # depth cost prediction + sigmoid gate fusion
-        stereo_cost = DepthPredModule(self.cv_channels, self.norm, self.dtype,
-                                      name='pred_stereo')(stereo_feats, train)
+        # (PackedPred measured slower than the zsum DepthPredModule —
+        #  pack_vol's 2.8 ms dominates a single-layer chain; enable with
+        #  DFM_PACKED_PRED=1 after the pack kernel gets cheaper)
+        if packed and os.environ.get('DFM_PACKED_PRED'):
+            pred_s = PackedPred(self.cv_channels, self.dtype,
+                                packed_interp, name='pred_stereo')
+            stereo_cost = jnp.stack(
+                [pred_s(stereo_feats[i])
+                 for i in range(stereo_feats.shape[0])])
+        else:
+            stereo_cost = DepthPredModule(
+                self.cv_channels, self.norm, self.dtype,
+                name='pred_stereo')(stereo_feats, train)
         if mono_red is not None:
             mono_cost = RedDepthPredModule(
                 self.cv_channels, dtype=self.dtype,

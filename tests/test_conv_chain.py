@@ -1,0 +1,154 @@
+"""Packed-layout conv chain (ops/pallas/conv_chain.py): exactness vs the
+dense lowering, and the integrated DfMBackbone packed path vs the dense
+path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dfm_tpu.ops.pallas.conv_chain import (
+    conv_p2p, dres0_stats_affine, gn_from_partials, pack_vol,
+    pack_vol_ref, unpack_affine_res, unpack_vol, unpack_vol_ref)
+
+D, H, W, TH = 8, 16, 32, 8
+
+
+@pytest.fixture(scope='module')
+def data():
+    rng = np.random.RandomState(0)
+    x = rng.randn(D, H, W, 32).astype(np.float32)
+    k = (rng.randn(3, 3, 3, 32, 32) * 0.1).astype(np.float32)
+    return x, k
+
+
+def dense_conv(x, k):
+    return jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(k), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))[0]
+
+
+def test_pack_unpack_roundtrip(data):
+    x, _ = data
+    for phase in (0, 2):
+        pv = pack_vol(jnp.asarray(x), phase=phase, th=TH, interpret=True)
+        ref = pack_vol_ref(jnp.asarray(x), phase=phase, th=TH)
+        np.testing.assert_array_equal(np.asarray(pv.data),
+                                      np.asarray(ref.data))
+        back = unpack_vol(pv, interpret=True)
+        np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_conv_p2p_both_phases_and_chain(data):
+    x, k = data
+    ref = np.asarray(dense_conv(x, k))
+    for phase in (0, 2):
+        pv = pack_vol_ref(jnp.asarray(x), phase=phase, th=TH)
+        out, ps = conv_p2p(pv, jnp.asarray(k), interpret=True)
+        got = np.asarray(unpack_vol_ref(out))
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+        s = np.asarray(ps[..., 0, :]).sum((0, 1)).reshape(4, 32).sum(0)
+        np.testing.assert_allclose(s, ref.sum((0, 1, 2)), rtol=1e-4,
+                                   atol=1e-2)
+    # phase alternation: conv(conv(x)) without intermediate unpack
+    pv = pack_vol_ref(jnp.asarray(x), phase=0, th=TH)
+    o1, _ = conv_p2p(pv, jnp.asarray(k), interpret=True)
+    o2, _ = conv_p2p(o1, jnp.asarray(k), interpret=True)
+    refc = np.asarray(dense_conv(np.asarray(dense_conv(x, k)), k))
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(o2)), refc,
+                               atol=1e-3)
+
+
+def test_gn_exit_paths(data):
+    x, k = data
+    from dfm_tpu.models.layers import GroupNorm
+    rng = np.random.RandomState(1)
+    scale = rng.randn(32).astype(np.float32)
+    bias = rng.randn(32).astype(np.float32)
+    gn = GroupNorm(num_groups=32)
+    v = {'params': {'scale': jnp.asarray(scale), 'bias': jnp.asarray(bias)}}
+    ref = np.asarray(dense_conv(x, k))
+    refgn = np.asarray(gn.apply(v, jnp.asarray(ref)[None]))[0]
+
+    pv = pack_vol_ref(jnp.asarray(x), phase=0, th=TH)
+    out, ps = conv_p2p(pv, jnp.asarray(k), interpret=True)
+    y = gn_from_partials(ps, out, scale, bias, 32, relu=True)
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(y)),
+                               np.maximum(refgn, 0), atol=1e-4)
+
+    # unpack_affine_res: GN(conv(y)) + y with y phase 2
+    u1, ps1 = conv_p2p(y, jnp.asarray(k), interpret=True)
+    y_d = np.asarray(unpack_vol_ref(y))
+    refu1 = np.asarray(dense_conv(y_d, k))
+    refgn1 = np.asarray(gn.apply(v, jnp.asarray(refu1)[None]))[0]
+    got = np.asarray(unpack_affine_res(u1, ps1, scale, bias, 32,
+                                       res_pv=y, interpret=True))
+    np.testing.assert_allclose(got, refgn1 + y_d, atol=1e-4)
+
+
+def test_dres0_fused_vs_dual_conv(data):
+    x, _ = data
+    rng = np.random.RandomState(2)
+    k64 = (rng.randn(3, 3, 3, 64, 32) * 0.1).astype(np.float32)
+    cur2d = rng.randn(H, W, 32).astype(np.float32)
+    from dfm_tpu.models.layers import GroupNorm
+    from dfm_tpu.ops.band_volume import dual_conv3
+    gn = GroupNorm(num_groups=32)
+    scale = rng.randn(32).astype(np.float32)
+    bias = rng.randn(32).astype(np.float32)
+    v = {'params': {'scale': jnp.asarray(scale), 'bias': jnp.asarray(bias)}}
+    dense = np.asarray(dual_conv3(jnp.asarray(cur2d)[None],
+                                  jnp.asarray(x)[None], jnp.asarray(k64))[0])
+    ref = np.maximum(np.asarray(gn.apply(v, jnp.asarray(dense)[None]))[0], 0)
+
+    from dfm_tpu.models.backbones.dfm_backbone import packed_stereo_stem
+    def conv2d(img, kk):
+        return jax.lax.conv_general_dilated(
+            jnp.asarray(img)[None], jnp.asarray(kk), (1, 1), [(1, 1)] * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
+    k_cur = k64[..., :32, :]
+    ci = conv2d(cur2d, k_cur.sum(0))
+    pv = pack_vol_ref(jnp.asarray(x), phase=0, th=TH)
+    u0, ps0 = conv_p2p(pv, jnp.asarray(k64[..., 32:, :]), interpret=True)
+    clo = ci - conv2d(cur2d, k_cur[0])
+    chi = ci - conv2d(cur2d, k_cur[2])
+    y0 = dres0_stats_affine(u0, ps0, ci, clo, chi, scale, bias, 32)
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(y0)), ref,
+                               atol=1e-4)
+
+
+def test_backbone_packed_vs_dense(monkeypatch):
+    """Integrated DfMBackbone: DFM_PACKED=interpret path == dense path."""
+    from dfm_tpu.models.backbones.dfm_backbone import DfMBackbone
+    rng = np.random.RandomState(3)
+    b, hf, wf, c = 1, 32, 64, 32
+    d = 8
+    cur = jnp.asarray(rng.randn(b, hf, wf, c).astype(np.float32))
+    prev = jnp.asarray(rng.randn(b, hf, wf, c).astype(np.float32))
+    depths = jnp.linspace(2.0, 10.0, d)
+    cam = np.eye(4, dtype=np.float32)
+    cam[0, 0] = cam[1, 1] = 50.0
+    cam[0, 2], cam[1, 2] = wf / 2, hf / 2
+    cam2img = jnp.tile(jnp.asarray(cam)[None], (b, 1, 1))
+    c2p = np.eye(4, dtype=np.float32)
+    c2p[0, 3] = 0.3
+    cur2prev = jnp.tile(jnp.asarray(c2p)[None], (b, 1, 1))
+
+    def run():
+        mdl = DfMBackbone(in_channels=c, cv_channels=32,
+                          cost_sample_factor=4, num_depth_bins_out=d,
+                          norm='gn', dtype=jnp.bfloat16)
+        v = mdl.init(jax.random.PRNGKey(0), cur, prev, depths, cam2img,
+                     cur2prev)
+        out = mdl.apply(v, cur, prev, depths, cam2img, cur2prev)
+        return [np.asarray(o, np.float32) for o in out]
+
+    monkeypatch.setenv('DFM_PACKED', '0')
+    dense = run()
+    monkeypatch.setenv('DFM_PACKED', 'interpret')
+    packd = run()
+    for a, b_ in zip(dense, packd):
+        assert a.shape == b_.shape
+        # bf16 compute: identical math up to accumulation order
+        np.testing.assert_allclose(a, b_, atol=0.15, rtol=0.15)
