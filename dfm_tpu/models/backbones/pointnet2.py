@@ -161,13 +161,18 @@ class PointNet2SASSG(nn.Module):
         (64, 64, 128), (128, 128, 256), (128, 128, 256),
         (128, 128, 256))
     fp_channels: Tuple[Tuple[int, ...], ...] = ()
+    # segmentation decode heads need the whole SA pyramid (reference
+    # backbones return dict(sa_xyz, sa_features, sa_indices))
+    return_hierarchy: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, points, train: bool = False):
         """points (B, N, 3+C) -> (seed_xyz (B, M, 3),
         seed_feats (B, M, C')). With fp_channels, seeds are the FP
-        level len(fp_channels) steps up from the coarsest SA."""
+        level len(fp_channels) steps up from the coarsest SA. With
+        return_hierarchy, dict(sa_xyz=[...], sa_features=[...]) with
+        level 0 = the raw input points."""
         xyz = points[..., :3]
         feats = points[..., 3:] if points.shape[-1] > 3 else None
         sa_xyz, sa_feats = [xyz], [feats]
@@ -178,6 +183,9 @@ class PointNet2SASSG(nn.Module):
                 name=f'sa{i}')(xyz, feats, train)
             sa_xyz.append(xyz)
             sa_feats.append(feats)
+        if self.return_hierarchy:
+            assert not self.fp_channels
+            return dict(sa_xyz=sa_xyz, sa_features=sa_feats)
         for j, mlp in enumerate(self.fp_channels):
             dst = len(sa_xyz) - 2 - j
             feats = FPModule(mlp, dtype=self.dtype, name=f'fp{j}')(

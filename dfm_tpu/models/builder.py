@@ -211,8 +211,19 @@ def _build_centerpoint(mc, dtype):
             centerpoint_predict)
 
 
+def _build_encoder_decoder3d(mc, dtype):
+    from .segmentors.encoder_decoder import (EncoderDecoder3D,
+                                             EncoderDecoder3DConfig,
+                                             encoder_decoder3d_loss,
+                                             encoder_decoder3d_predict)
+    cfg = _mk_cfg(EncoderDecoder3DConfig, mc)
+    return (EncoderDecoder3D(cfg=cfg, dtype=dtype), cfg,
+            encoder_decoder3d_loss, encoder_decoder3d_predict)
+
+
 _BUILDERS = {
     'DfM': _build_dfm,
+    'EncoderDecoder3D': _build_encoder_decoder3d,
     'DfMFull': _build_dfm_full,
     'MultiViewDfM': _build_mvdfm,
     'FCOSMono3D': _build_fcos3d,

@@ -557,8 +557,40 @@ def _mk_h3dnet_adapter():
         synthetic_batch=synth, predict=predict)
 
 
+def _mk_seg_adapter():
+    """EncoderDecoder3D (semantic segmentation family)."""
+    def loss(handle, outputs, batch, rng):
+        from ..models.segmentors.encoder_decoder import \
+            encoder_decoder3d_loss
+        return encoder_decoder3d_loss(outputs, batch, handle.cfg)
+
+    def predict(handle, outputs, batch):
+        from ..models.segmentors.encoder_decoder import \
+            encoder_decoder3d_predict
+        return encoder_decoder3d_predict(outputs, handle.cfg)
+
+    def synth(handle, b, seed, n=256):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        cfg = handle.cfg
+        nfeat = 9 if cfg.use_normalized_coord else 6
+        if cfg.backbone == 'DGCNNBackbone':
+            nfeat = 9
+        pts = rng.random((b, n, nfeat)).astype(np.float32) * 2.0
+        labels = rng.integers(0, cfg.num_classes, (b, n))
+        # a few ignored points exercise the loss mask
+        labels[:, :4] = cfg.ignore_index
+        return dict(points=jnp.asarray(pts),
+                    seg_labels=jnp.asarray(labels.astype(np.int32)))
+
+    return TrainAdapter(
+        type='EncoderDecoder3D', model_args=lambda b: (b['points'],),
+        loss=loss, synthetic_batch=synth, predict=predict)
+
+
 _ADAPTERS = {
     'DfM': _mk_dfm_adapter(full=False),
+    'EncoderDecoder3D': _mk_seg_adapter(),
     'DfMFull': _mk_dfm_adapter(full=True),
     'FCOSMono3D': _mk_mono_adapter('fcos3d'),
     'PGD': _mk_mono_adapter('pgd'),

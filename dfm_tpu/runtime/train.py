@@ -94,7 +94,8 @@ def make_train_step(model, loss_fn: Callable, donate: bool = True,
         outputs, mutated = model.apply(
             {'params': params, 'batch_stats': batch_stats},
             *model_args_fn(batch), train=True,
-            mutable=['batch_stats'])
+            mutable=['batch_stats'],
+            rngs={'dropout': jax.random.fold_in(rng, 1)})
         total, losses = loss_fn(outputs, batch, rng)
         return total, (losses, mutated['batch_stats'])
 

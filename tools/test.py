@@ -199,6 +199,44 @@ def indoor_real_eval(args, cfg, handle, adapter):
             pickle.dump(results, f)
 
 
+def seg_real_eval(args, cfg, handle):
+    """Restore -> sliding-patch inference per scene -> mIoU
+    (reference tools/test.py -> Custom3DSegDataset.evaluate ->
+    seg_eval; slide semantics in models/segmentors/encoder_decoder.py)."""
+    import jax
+    import jax.numpy as jnp
+    from dfm_tpu.data.seg3d import build_seg_dataset
+    from dfm_tpu.models.segmentors import slide_inference
+    ds = build_seg_dataset(cfg.data, train=False)
+    scfg = handle.cfg
+    nfeat = 3 + (ds.load_scene(0)[0].shape[1] - 3) \
+        + (3 if scfg.use_normalized_coord else 0)
+    probe = jnp.zeros((scfg.test_batch_size, scfg.num_points, nfeat),
+                      jnp.float32)
+    variables = handle.module.init(jax.random.PRNGKey(0), probe,
+                                   train=False)
+    variables = restore_variables(args, variables)
+    apply_fn = jax.jit(
+        lambda pts: handle.module.apply(variables, pts, train=False))
+    n = min(len(ds.infos), args.max_samples or len(ds.infos))
+    results = []
+    for i in range(n):
+        pts, _ = ds.load_scene(i)
+        pred = slide_inference(apply_fn, pts, scfg)
+        results.append(pred)
+        print(f'[{i + 1}/{n}] {pts.shape[0]} pts', flush=True)
+    ds.infos = ds.infos[:n]          # cap eval to the scenes inferred
+    res = ds.evaluate(results)
+    for k in sorted(res):
+        v = res[k]
+        if isinstance(v, float):
+            print(f'{k}: {v:.4f}')
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+
+
 def main():
     args = parse_args()
     from dfm_tpu.utils.env import setup_platform
@@ -214,6 +252,14 @@ def main():
 
     data_root = cfg.data.get('data_root', '') if 'data' in cfg else ''
     dtype_name = cfg.data.get('type', '') if 'data' in cfg else ''
+    if dtype_name.endswith('SegDataset'):
+        from dfm_tpu.data.seg3d import seg_ann_files
+        ann = seg_ann_files(cfg.data, train=False)
+        if not args.synthetic and all(os.path.exists(a) for a in ann):
+            seg_real_eval(args, cfg, handle)
+            return
+        synthetic_eval(args, handle, adapter)
+        return
     info = {'SUNRGBDDataset': 'sunrgbd_infos_val.pkl',
             'ScanNetDataset': 'scannet_infos_val.pkl'}.get(
                 dtype_name, 'kitti_infos_val.pkl')

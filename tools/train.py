@@ -291,6 +291,31 @@ class IndoorSource:
                 for k in samples[0]}
 
 
+class SegSource:
+    """Seg datasets -> static-shape patch batches (pipeline semantics
+    in dfm_tpu/data/seg3d.py; reference IndoorPatchPointSample)."""
+
+    def __init__(self, cfg, batch_size, train=True):
+        from dfm_tpu.data.seg3d import build_seg_dataset
+        self.ds = build_seg_dataset(cfg.data, train=train)
+        self.batch_size = batch_size
+        self.cursor = 0
+
+    def __len__(self):
+        return len(self.ds)
+
+    @property
+    def steps_per_epoch(self):
+        return max(len(self.ds) // self.batch_size, 1)
+
+    def next_batch(self, step, rng):
+        import jax.numpy as jnp
+        # patch sampling is random per __getitem__; scene order cycles
+        b = self.ds.batch(self.batch_size, start=self.cursor)
+        self.cursor = (self.cursor + self.batch_size) % max(len(self.ds), 1)
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+
 _INDOOR_INFO = {'SUNRGBDDataset': 'sunrgbd_infos_train.pkl',
                 'ScanNetDataset': 'scannet_infos_train.pkl'}
 
@@ -298,6 +323,14 @@ _INDOOR_INFO = {'SUNRGBDDataset': 'sunrgbd_infos_train.pkl',
 def make_data_source(cfg, handle, adapter, batch_size, args):
     data_root = cfg.data.get('data_root', '') if 'data' in cfg else ''
     dtype_name = cfg.data.get('type', '') if 'data' in cfg else ''
+    if dtype_name.endswith('SegDataset'):
+        from dfm_tpu.data.seg3d import seg_ann_files
+        ann = seg_ann_files(cfg.data, train=True)
+        if not args.synthetic and all(os.path.exists(a) for a in ann):
+            return SegSource(cfg, batch_size, train=True)
+        if not args.synthetic:
+            print(f'[data] {ann[0]!r} not found -> synthetic batches')
+        return SyntheticSource(handle, adapter, batch_size, args.seed)
     info_file = _INDOOR_INFO.get(dtype_name, 'kitti_infos_train.pkl')
     have_data = bool(data_root) and os.path.exists(
         os.path.join(data_root, info_file))
