@@ -30,8 +30,9 @@ class LyftDataset:
 
     def __init__(self, data_root, info_path, train=True,
                  max_points=32768, max_gt=64, seed=0,
-                 point_features=3):
+                 point_features=3, sweeps_num=0):
         self.data_root = data_root
+        self.sweeps_num = sweeps_num
         with open(info_path, 'rb') as f:
             data = pickle.load(f)
         self.infos = data['infos'] if isinstance(data, dict) else data
@@ -58,9 +59,14 @@ class LyftDataset:
                                        os.path.basename(raw)))
         path = next((c for c in candidates if os.path.exists(c)),
                     candidates[-1])
-        pts = np.fromfile(path, np.float32)
-        pts = pts.reshape(-1, 5)[:, :self.point_features]
-        return pts
+        pts = np.fromfile(path, np.float32).reshape(-1, 5)
+        if self.sweeps_num and info.get('sweeps'):
+            from .wrappers import multisweep_points
+            pts = multisweep_points(
+                pts, info, self.data_root, sweeps_num=self.sweeps_num,
+                load_dim=5, use_dim=(0, 1, 2, 4), rng=self.rng,
+                test_mode=not self.train)
+        return pts[:, :self.point_features]
 
     def _annotations(self, info):
         boxes = np.asarray(info.get('gt_boxes',
@@ -70,6 +76,12 @@ class LyftDataset:
                             np.int64)
         keep = labels >= 0
         return boxes[keep], labels[keep]
+
+    def get_cat_ids(self, index):
+        """Category ids present in frame `index` (CBGSDataset hook;
+        reference nuscenes_dataset.py:154 semantics)."""
+        _, labels = self._annotations(self.infos[index])
+        return set(int(c) for c in labels)
 
     def get_sample(self, index):
         info = self.infos[index]

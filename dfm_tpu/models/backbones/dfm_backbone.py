@@ -76,17 +76,19 @@ def _conv2d_f(x, k):
 
 
 def packed_stereo_stem(cur2d, prev_pv, k0, gn0, k1, gn1, groups,
-                       interpret=False):
+                       keep_packed=False, interpret=False):
     """dres0 + dres1 of the stereo branch on the z-packed layout
     (ops/pallas/conv_chain.py): dual conv -> GN -> relu -> conv -> GN ->
     +residual, all without leaving the packed form; one unpack at the
-    end. Exactly DualConvNorm + ConvNorm(act=False) + residual on the
-    same params. Single-sample inputs.
+    end (or none with keep_packed — the hourglass chain consumes the
+    packed form directly). Exactly DualConvNorm + ConvNorm(act=False) +
+    residual on the same params. Single-sample inputs.
 
     Reference semantics: mmdet3d/models/backbones/dfm_backbone.py
     dres0/dres1 (convbn_3d stacks, :175-186).
     """
     from ...ops.pallas.conv_chain import (conv_p2p, dres0_stats_affine,
+                                          gn_affine_res_packed,
                                           unpack_affine_res)
     c = cur2d.shape[-1]
     k_cur = k0[..., :c, :]
@@ -97,8 +99,137 @@ def packed_stereo_stem(cur2d, prev_pv, k0, gn0, k1, gn1, groups,
     u0, ps0 = conv_p2p(prev_pv, k_prev, interpret=interpret)   # phase 2
     y0 = dres0_stats_affine(u0, ps0, ci, clo, chi, gn0[0], gn0[1], groups)
     u1, ps1 = conv_p2p(y0, k1, interpret=interpret)            # phase 0
+    if keep_packed:
+        return gn_affine_res_packed(u1, ps1, gn1[0], gn1[1], groups,
+                                    res_pv=y0, interpret=interpret)
     return unpack_affine_res(u1, ps1, gn1[0], gn1[1], groups, res_pv=y0,
                              interpret=interpret)
+
+
+class _ParamsConvTGN(nn.Module):
+    """Parameter holder with ConvTransposeNorm's exact tree
+    ('ConvTranspose_0/kernel', 'GroupNorm_0/{scale,bias}')."""
+    cin: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = _ConvKernel((3, 3, 3, self.cin, self.features),
+                        name='ConvTranspose_0')()
+        s, b = _GNParams(self.features, name='GroupNorm_0')()
+        return k, s, b
+
+
+class HourglassParams(nn.Module):
+    """Parameter holders with `Hourglass`'s exact tree (ConvNorm_0..3,
+    ConvTransposeNorm_0/1) so checkpoints are interchangeable between
+    the dense and packed hourglass paths. Declared OUTSIDE the Pallas
+    lax.cond wrapper (flax params cannot be created inside a cond
+    branch)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        c, c2 = self.features, self.features * 2
+        return dict(
+            cn0=_ParamsConvGN(c, c2, name='ConvNorm_0')(),
+            cn1=_ParamsConvGN(c2, c2, name='ConvNorm_1')(),
+            cn2=_ParamsConvGN(c2, c2, name='ConvNorm_2')(),
+            cn3=_ParamsConvGN(c2, c2, name='ConvNorm_3')(),
+            ct0=_ParamsConvTGN(c2, c2, name='ConvTransposeNorm_0')(),
+            ct1=_ParamsConvTGN(c2, c, name='ConvTransposeNorm_1')())
+
+
+def _conv3d_f(x, k, strides=(1, 1, 1)):
+    return jax.lax.conv_general_dilated(
+        x[None], k.astype(x.dtype), strides, [(1, 1)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=jnp.float32)[0].astype(x.dtype)
+
+
+def _convt3d_f(x, k):
+    # torch k3/s2/p1/op1 (layers.py ConvTransposeNorm padding (1, 2))
+    return jax.lax.conv_transpose(
+        x[None], k.astype(x.dtype), (2, 2, 2), [(1, 2)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=jnp.float32)[0].astype(x.dtype)
+
+
+def _gn_f(x, scale, bias, g, eps=1e-5):
+    d, h, w, c = x.shape
+    xx = x.reshape(-1, g, c // g).astype(jnp.float32)
+    mean = xx.mean(axis=(0, 2))
+    var = (xx * xx).mean(axis=(0, 2)) - mean * mean
+    return fold_gn_apply(x[None], mean[None], var[None], scale, bias,
+                         eps)[0]
+
+
+def packed_hourglass(x_pv, hp, groups=32, interpret=False):
+    """3D Hourglass + caller residual on the z-packed layout
+    (reference dfm_backbone.py hourglass loop `cost0 = cost0 +
+    hg(cost0)`; dense equivalent models/layers.py Hourglass:261-300,
+    presqu/postsqu=None).
+
+    Full-resolution ends run as Pallas packed kernels — the stride-2
+    entry conv reads the packed volume (ops/pallas/conv_chain.py
+    conv_s2_p2d) and the final transpose conv is decomposed into 27
+    half-res matmul taps (convt1_parity) whose parity sub-volumes are
+    interleaved straight back into the packed layout with fused GN
+    moments (pack_parity8). The half/quarter-resolution interior runs
+    dense C=64 XLA convs (already near the matmul roofline there).
+    `hp` = HourglassParams(). Single-sample, inference-only.
+    """
+    from ...ops.pallas.conv_chain import (conv_s2_p2d, convt1_parity,
+                                          gn_dense_from_partials,
+                                          gn_from_partials, pack_parity8)
+    k0, s0, b0 = hp['cn0']
+    c2 = k0.shape[-1]
+    c = k0.shape[-2]
+    g2 = _gn_groups(c2, groups)
+    d2, h2, w2 = x_pv.d // 2, x_pv.h // 2, x_pv.w // 2
+    u0, ps0 = conv_s2_p2d(x_pv, k0, interpret=interpret)
+    out = gn_dense_from_partials(u0, ps0, d2 * h2 * w2, s0, b0, g2,
+                                 relu=True, cout=c2)
+    k1, s1, b1 = hp['cn1']
+    pre = jax.nn.relu(_gn_f(_conv3d_f(out, k1), s1, b1, g2))
+    k2, s2_, b2 = hp['cn2']
+    mid = jax.nn.relu(_gn_f(_conv3d_f(pre, k2, (2, 2, 2)), s2_, b2, g2))
+    k3, s3, b3 = hp['cn3']
+    mid = jax.nn.relu(_gn_f(_conv3d_f(mid, k3), s3, b3, g2))
+    kt0, st0, bt0 = hp['ct0']
+    post = _gn_f(_convt3d_f(mid, kt0), st0, bt0, g2)
+    post = jax.nn.relu(post + pre)
+    kt1, st1, bt1 = hp['ct1']
+    par = convt1_parity(post, kt1.astype(post.dtype))
+    u1, ps1 = pack_parity8(par, th=x_pv.th, interpret=interpret)
+    # GN affine of the transpose conv + the hourglass residual
+    # (x + res) in one fused pass, staying packed
+    return gn_from_partials(ps1, u1, st1, bt1, _gn_groups(c, groups),
+                            extra=x_pv.data)
+
+
+class PredStereoPacked(nn.Module):
+    """DepthPredModule split for the packed chain: the ConvNorm runs
+    as conv_p2p INSIDE the per-sample Pallas cond (params exposed via
+    `convnorm_params`), the 1-channel scalar conv runs batched outside
+    (`scalar`). Tree matches DepthPredModule ('ConvNorm_0' +
+    'Conv_0')."""
+    cv: int = 32
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.ConvNorm_0 = _ParamsConvGN(self.cv, self.cv)
+        self.Conv_0 = Conv3DScalar(dtype=self.dtype)
+
+    def convnorm_params(self):
+        return self.ConvNorm_0()
+
+    def scalar(self, x):
+        return self.Conv_0(x)
+
+    def __call__(self, x):   # init-trace convenience
+        self.convnorm_params()
+        return self.scalar(x)
 
 
 class PackedPred(nn.Module):
@@ -377,6 +508,8 @@ class DfMBackbone(nn.Module):
         packed = (banded and not train and packed_env != '0'
                   and self.dtype == jnp.bfloat16
                   and (packed_interp or jax.default_backend() == 'tpu'))
+        packed_hg = False
+        stereo_pred_feat = None
 
         def hg_stack(cur, tag):
             for i in range(self.num_hg):
@@ -399,7 +532,62 @@ class DfMBackbone(nn.Module):
             b_, _, hq, wq, _ = prev_vol.shape
             packed = (packed and d % 4 == 0 and hq % 8 == 0
                       and wq % 16 == 0)
-            if packed:
+            # the full packed chain (stem + hourglass + pred ConvNorm
+            # without any full-res relayout between layers) needs the
+            # half-res row tiles to divide too
+            packed_hg = (packed and hq % 16 == 0
+                         and os.environ.get('DFM_PACKED_HG', '1') != '0')
+            if packed_hg:
+                from ...ops.pallas.conv_chain import (pack_vol,
+                                                      unpack_affine_res,
+                                                      unpack_vol)
+                c_in = cur2d.shape[-1]
+                k0, s0s, s0b = _ParamsConvGN(
+                    2 * c_in, self.cv_channels, name='dres0_stereo')()
+                k1, s1s, s1b = _ParamsConvGN(
+                    self.cv_channels, self.cv_channels,
+                    name='dres1_stereo')()
+                g = _gn_groups(self.cv_channels, 32)
+                hps = [HourglassParams(self.cv_channels,
+                                       name=f'hg_stereo_{i}')()
+                       for i in range(self.num_hg)]
+                pred_s = PredStereoPacked(self.cv_channels, self.dtype,
+                                          name='pred_stereo')
+                kp, sps, spb = pred_s.convnorm_params()
+
+                def _chain(args):
+                    cur_i, prev_i = args
+                    pv = pack_vol(prev_i, phase=0,
+                                  interpret=packed_interp)
+                    x_pv = packed_stereo_stem(
+                        cur_i, pv, k0, (s0s, s0b), k1, (s1s, s1b), g,
+                        keep_packed=True, interpret=packed_interp)
+                    for hp in hps:
+                        x_pv = packed_hourglass(x_pv, hp,
+                                                interpret=packed_interp)
+                    from ...ops.pallas.conv_chain import conv_p2p
+                    up, psp = conv_p2p(x_pv, kp, interpret=packed_interp)
+                    pred_feat = unpack_affine_res(
+                        up, psp, sps, spb, g, relu=True,
+                        interpret=packed_interp)
+                    return unpack_vol(x_pv, interpret=packed_interp), \
+                        pred_feat
+
+                def _zeros(args):
+                    z = jnp.zeros(prev_vol.shape[1:], self.dtype)
+                    return z, z
+
+                # lax.cond wrapper (always true for finite inputs):
+                # a TOP-LEVEL Mosaic call forces XLA into a conservative
+                # whole-program schedule (NOTES.md round-2); the cond
+                # isolates the kernel chain's schedule.
+                outs = [jax.lax.cond(
+                    jnp.isfinite(prev_vol[i, 0, 0, 0, 0]),
+                    _chain, _zeros, (cur2d[i], prev_vol[i]))
+                    for i in range(b_)]
+                stereo_feats = jnp.stack([o[0] for o in outs])
+                stereo_pred_feat = jnp.stack([o[1] for o in outs])
+            elif packed:
                 from ...ops.pallas.conv_chain import pack_vol
                 c_in = cur2d.shape[-1]
                 k0, s0s, s0b = _ParamsConvGN(
@@ -435,7 +623,8 @@ class DfMBackbone(nn.Module):
                 s0 = ConvNorm(self.cv_channels, (3, 3, 3), norm=self.norm,
                               act=False, dtype=self.dtype,
                               name='dres1_stereo')(s0, train) + s0
-            stereo_feats = hg_stack(s0, 'stereo')
+            if not packed_hg:
+                stereo_feats = hg_stack(s0, 'stereo')
             # mono stem: fully banded (input is D-constant)
             m0 = BandConvNorm(self.cv_channels, dtype=self.dtype,
                               name='dres0_mono')(band_from_const(cur2d, d))
@@ -477,14 +666,15 @@ class DfMBackbone(nn.Module):
             mono_red = mono_plan = None
 
         # depth cost prediction + sigmoid gate fusion
-        # (PackedPred measured slower than the zsum DepthPredModule —
-        #  pack_vol's 2.8 ms dominates a single-layer chain; enable with
-        #  DFM_PACKED_PRED=1 after the pack kernel gets cheaper)
-        if packed and os.environ.get('DFM_PACKED_PRED'):
-            pred_s = PackedPred(self.cv_channels, self.dtype,
-                                packed_interp, name='pred_stereo')
+        if packed_hg:
+            # the pred ConvNorm already ran inside the packed chain;
+            # only the 1-channel scalar conv remains
+            stereo_cost = pred_s.scalar(stereo_pred_feat)
+        elif packed and os.environ.get('DFM_PACKED_PRED'):
+            pred_sp = PackedPred(self.cv_channels, self.dtype,
+                                 packed_interp, name='pred_stereo')
             stereo_cost = jnp.stack(
-                [pred_s(stereo_feats[i])
+                [pred_sp(stereo_feats[i])
                  for i in range(stereo_feats.shape[0])])
         else:
             stereo_cost = DepthPredModule(

@@ -595,10 +595,13 @@ def unpack_affine_res(u_pv: PackedVol, ps, scale, bias, num_groups,
     Finishes GroupNorm from `ps` partials and unpacks in one kernel.
     `res_pv` (optional) must be the OPPOSITE phase of `u_pv` (the conv
     input, e.g. dres1's `GN(conv(y)) + y`): its values are recombined
-    to u's block alignment in-kernel. u_pv must be phase 0 (so the
-    residual phase-2 neighbor blocks k, k+1 both exist).
+    to u's block alignment in-kernel. With a residual, u_pv must be
+    phase 0 (so the residual phase-2 neighbor blocks k, k+1 both
+    exist); without one, phase 2 is also accepted (the z-pad slices
+    are cut after the unpack).
     """
-    assert u_pv.phase == 0, 'unpack_affine_res wants a phase-0 conv output'
+    assert u_pv.phase == 0 or res_pv is None, \
+        'unpack_affine_res residuals want a phase-0 conv output'
     g = num_groups
     s = ps[..., 0, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
     s2 = ps[..., 1, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
@@ -612,9 +615,430 @@ def unpack_affine_res(u_pv: PackedVol, ps, scale, bias, num_groups,
     bs = jnp.tile((bias - mean[:, None] * scale * rstd[:, None]
                    ).reshape(C), G)
     y = None if res_pv is None else res_pv.data
-    return _unpack_ar_call(u_pv.data, y, sc, bs, u_pv.th, u_pv.h, u_pv.w,
-                           bool(relu), res_pv is not None,
+    dense = _unpack_ar_call(u_pv.data, y, sc, bs, u_pv.th, u_pv.h,
+                            u_pv.w, bool(relu), res_pv is not None,
+                            interpret=interpret)
+    if u_pv.phase == 2:
+        dense = dense[2:2 + u_pv.d]
+    return dense
+
+
+# ---------------------------------------------------------------------------
+# stride-2 conv from packed input (the hourglass entry): a 3^3 stride-2
+# 'same' conv consuming a packed (4x32) volume and writing a DENSE
+# half-resolution C=64 volume + GroupNorm partial moments. Out lanes
+# hold an (z2-pair, 64ch) pairing, so every matmul is full-lane; the
+# W stride is folded into a column-parity split of the input buffer
+# (each tap then reads one parity at stride 1).
+
+
+def pack_weights_s2(kernel, phase):
+    """(3, 3, 3, 32, 64) -> (wa, wb) each (9, 128, 128) z-banded for the
+    stride-2 conv. Out lane = g2 * 64 + co for out z2 = 2*k2 + g2; in
+    lane = g * 32 + ci. Valid taps: dz = 4*delta + g - 2*g2 + 1 - phase
+    with delta = -1/0 for phase 0 (wa = block k2-1, wb = k2) and
+    delta = 0/+1 for phase 2 (wa = k2, wb = k2+1)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    assert k.shape == (3, 3, 3, C, 2 * C), k.shape
+    wa = jnp.zeros((9, L, L), jnp.float32)
+    wb = jnp.zeros((9, L, L), jnp.float32)
+    d_a = -1 if phase == 0 else 0
+    for g in range(G):
+        for g2 in range(2):
+            sl = (slice(g * C, (g + 1) * C),
+                  slice(g2 * 2 * C, (g2 + 1) * 2 * C))
+            dz_a = 4 * d_a + g - 2 * g2 + 1 - phase
+            dz_b = dz_a + 4
+            for t, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                         for dx in range(3)):
+                if 0 <= dz_a < 3:
+                    wa = wa.at[t, sl[0], sl[1]].set(k[dz_a, dy, dx])
+                if 0 <= dz_b < 3:
+                    wb = wb.at[t, sl[0], sl[1]].set(k[dz_b, dy, dx])
+    return wa, wb
+
+
+def _conv_s2_kernel(x_ref, wa_ref, wb_ref, out_ref, ps_ref, bufs, sems, *,
+                    nh2, th2, wp, th_in, w2, nbin, nb2, off_a):
+    k2 = pl.program_id(0)
+    hi = pl.program_id(1)
+    p = k2 * nh2 + hi
+    n = nb2 * nh2
+    slot = jax.lax.rem(p, 2)
+    win = 2 * th2 + 6
+    wp2 = wp // 2
+
+    def issue(prog, sl):
+        kk = prog // nh2
+        hh = jax.lax.rem(prog, nh2)
+        ka = jnp.clip(kk + off_a, 0, nbin - 1)
+        kb = jnp.clip(kk + off_a + 1, 0, nbin - 1)
+        s0 = th_in + 2 * hh * th2 - 4
+        ca = pltpu.make_async_copy(x_ref.at[ka, pl.ds(s0, win)],
+                                   bufs.at[sl, 0], sems.at[sl, 0])
+        cb = pltpu.make_async_copy(x_ref.at[kb, pl.ds(s0, win)],
+                                   bufs.at[sl, 1], sems.at[sl, 1])
+        return ca, cb
+
+    @pl.when(p == 0)
+    def _first():
+        for c in issue(0, 0):
+            c.start()
+
+    @pl.when(p + 1 < n)
+    def _next():
+        for c in issue(p + 1, jax.lax.rem(p + 1, 2)):
+            c.start()
+
+    for c in issue(p, slot):
+        c.wait()
+
+    @pl.when(k2 + off_a < 0)
+    def _za():
+        bufs[slot, 0] = jnp.zeros_like(bufs[slot, 0])
+
+    @pl.when(k2 + off_a + 1 > nbin - 1)
+    def _zb():
+        bufs[slot, 1] = jnp.zeros_like(bufs[slot, 1])
+
+    # W is computed at stride 1 (all wp positions; the real out cols
+    # are the even ones, subsampled by the XLA wrapper) because Mosaic
+    # has no sublane-strided select; the H stride-2 select is free on
+    # the untiled leading dim via an even/odd reshape.
+    nrows = th2 * wp
+    acc = jnp.zeros((nrows, L), jnp.float32)
+    for blk in range(2):
+        f = bufs[slot, blk]                        # (win, wp, 128)
+        half = f.reshape((2 * th2 + 6) // 2, 2, wp, L)
+        ev = half[:, 0]                            # rows 0, 2, 4, ...
+        od = half[:, 1]                            # rows 1, 3, 5, ...
+        wref = wa_ref if blk == 0 else wb_ref
+        for dy in range(3):
+            # out row j reads input window row 2j + dy + 3 (sel[1 + j]);
+            # one guard row each side for the dx -1/+1 flatten wraps
+            if dy == 0:
+                sel = od[0:th2 + 2]                # odd rows 1, 3, ...
+            elif dy == 1:
+                sel = ev[1:th2 + 3]                # even rows 2, 4, ...
+            else:
+                sel = od[1:th2 + 3]                # odd rows 3, 5, ...
+            fsel = sel.reshape((th2 + 2) * wp, L)
+            for dx in range(3):
+                t = dy * 3 + dx
+                acc = acc + jax.lax.dot(
+                    fsel[wp + dx - 1:wp + dx - 1 + nrows], wref[t],
+                    preferred_element_type=jnp.float32)
+
+    accw = acc.reshape(th2, wp, L)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th2, wp, L), 1)
+    valid = (col < 2 * w2) & (jax.lax.rem(col, 2) == 0)
+    accw = jnp.where(valid, accw, 0.0)
+    af = accw.reshape(nrows, L)
+    ps_ref[0, 0, 0, :] = jnp.sum(af, axis=0)
+    ps_ref[0, 0, 1, :] = jnp.sum(af * af, axis=0)
+    out_ref[0, 0] = accw[:, :, :2 * C].astype(out_ref.dtype)
+    out_ref[0, 1] = accw[:, :, 2 * C:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('th2', 'd2', 'h2', 'w2',
+                                              'th_in', 'off_a', 'interpret'))
+def _conv_s2_call(data, wa, wb, th2, d2, h2, w2, th_in, off_a,
+                  interpret=False):
+    nbin, hp, wp, _ = data.shape
+    nh2 = h2 // th2
+    nb2 = (d2 + 1) // 2
+    kern = functools.partial(
+        _conv_s2_kernel, nh2=nh2, th2=th2, wp=wp, th_in=th_in, w2=w2,
+        nbin=nbin, nb2=nb2, off_a=off_a)
+    out, ps = pl.pallas_call(
+        kern,
+        grid=(nb2, nh2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, th2, wp, 2 * C),
+                         lambda k2, hi: (k2, 0, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 2, L), lambda k2, hi: (k2, hi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb2, 2, h2, wp, 2 * C), data.dtype),
+            jax.ShapeDtypeStruct((nb2, nh2, 2, L), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2 * th2 + 6, wp, L), data.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(data, wa.astype(data.dtype), wb.astype(data.dtype))
+    return out, ps
+
+
+def conv_s2_p2d(pv: PackedVol, kernel, th2=8, interpret=False):
+    """3^3 stride-2 'same' conv: packed (4x32) in -> DENSE half-res
+    (D2, H2, W2, 64) out (+ partial moments (NB2, NH2, 2, 128), lane
+    l = (z2 parity l // 64, channel l % 64)).
+
+    The hourglass entry conv (models/layers.py Hourglass ConvNorm_0;
+    reference dfm_backbone.py hourglass conv1). D, H even; H2 % th2 == 0.
+    """
+    d2, h2, w2 = pv.d // 2, pv.h // 2, pv.w // 2
+    assert pv.d % 2 == 0 and pv.h % 2 == 0 and h2 % th2 == 0
+    wa, wb = pack_weights_s2(kernel, pv.phase)
+    off_a = -1 if pv.phase == 0 else 0
+    out, ps = _conv_s2_call(pv.data, wa, wb, th2, d2, h2, w2, pv.th,
+                            off_a, interpret=interpret)
+    # the kernel computes all W positions (no sublane-strided select in
+    # Mosaic); the real half-res columns are the even ones
+    out = out.reshape(((d2 + 1) // 2) * 2, h2, pv.wp,
+                      2 * C)[:d2, :, 0:2 * w2:2]
+    return out, ps
+
+
+def gn_dense_from_partials(x, ps, count, scale, bias, num_groups,
+                           eps=1e-5, relu=True, cout=2 * C):
+    """Finish GroupNorm on a dense volume from kernel partial moments
+    (per-lane sums folded to per-channel). `count` = number of
+    elements per channel over the normalized region."""
+    g = num_groups
+    s = ps[..., 0, :].sum(axis=tuple(range(ps.ndim - 2))
+                          ).reshape(-1, cout).sum(axis=0)
+    s2 = ps[..., 1, :].sum(axis=tuple(range(ps.ndim - 2))
+                           ).reshape(-1, cout).sum(axis=0)
+    cnt = count * (cout // g)
+    mean = s.reshape(g, cout // g).sum(axis=1) / cnt
+    var = s2.reshape(g, cout // g).sum(axis=1) / cnt - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = jnp.asarray(scale, jnp.float32).reshape(g, cout // g)
+    bias = jnp.asarray(bias, jnp.float32).reshape(g, cout // g)
+    sc = (scale * rstd[:, None]).reshape(cout)
+    bs = (bias - mean[:, None] * scale * rstd[:, None]).reshape(cout)
+    y = x.astype(jnp.float32) * sc + bs
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# packed-exit affine (+ cross-phase residual) — the dres1 exit that
+# STAYS packed so the hourglass entry can consume it without a relayout
+
+
+def _affine_res_kernel(u_ref, ya_ref, yb_ref, sc_ref, bs_ref, o_ref, *,
+                       w, nh, relu, res):
+    hi = pl.program_id(1)
+    is_pad = (hi == 0) | (hi == nh - 1)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        x = u_ref[0].astype(jnp.float32) * sc_ref[0] + bs_ref[0]
+        if relu:
+            x = jnp.maximum(x, 0.0)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(col < w, x, 0.0)
+        if res:
+            r = jnp.concatenate([ya_ref[0][:, :, 2 * C:],
+                                 yb_ref[0][:, :, :2 * C]], axis=-1)
+            x = x + r.astype(jnp.float32)
+        o_ref[0] = x.astype(o_ref.dtype)
+
+    @pl.when(is_pad)
+    def _z():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('th', 'h', 'w', 'relu', 'res',
+                                             'interpret'))
+def _affine_res_call(u, y, sc, bs, th, h, w, relu, res, interpret=False):
+    nb, hp, wp, _ = u.shape
+    if y is None:
+        y = u
+    nby = y.shape[0]
+    nh = hp // th
+
+    def row(hi):
+        return jnp.clip(hi, 1, h // th)
+
+    out = pl.pallas_call(
+        functools.partial(_affine_res_kernel, w=w, nh=nh, relu=relu,
+                          res=res),
+        grid=(nb, nh),
+        in_specs=[
+            pl.BlockSpec((1, th, wp, L), lambda k, hi: (k, row(hi), 0, 0)),
+            pl.BlockSpec((1, th, wp, L),
+                         lambda k, hi: (jnp.minimum(k, nby - 1),
+                                        row(hi), 0, 0)),
+            pl.BlockSpec((1, th, wp, L),
+                         lambda k, hi: (jnp.minimum(k + 1, nby - 1),
+                                        row(hi), 0, 0)),
+            pl.BlockSpec((1, L), lambda k, hi: (0, 0)),
+            pl.BlockSpec((1, L), lambda k, hi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wp, L),
+                               lambda k, hi: (k, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, hp, wp, L), u.dtype),
+        interpret=interpret,
+    )(u, y, y, sc.reshape(1, L), bs.reshape(1, L))
+    return out
+
+
+def gn_affine_res_packed(u_pv: PackedVol, ps, scale, bias, num_groups,
+                         res_pv: PackedVol = None, relu=False, eps=1e-5,
+                         interpret=False):
+    """Like `unpack_affine_res` but the result STAYS packed (phase 0):
+    y = [relu](GN_affine(u)) (+ res recombined from the opposite
+    phase). Rows outside the valid tile keep their stored zeros (the
+    kernel grid only touches valid row tiles)."""
+    assert u_pv.phase == 0
+    g = num_groups
+    s = ps[..., 0, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
+    s2 = ps[..., 1, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
+    cnt = u_pv.d * u_pv.h * u_pv.w * (C // g)
+    mean = s.reshape(g, C // g).sum(axis=1) / cnt
+    var = s2.reshape(g, C // g).sum(axis=1) / cnt - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = jnp.asarray(scale, jnp.float32).reshape(g, C // g)
+    bias = jnp.asarray(bias, jnp.float32).reshape(g, C // g)
+    sc = jnp.tile((scale * rstd[:, None]).reshape(C), G)
+    bs = jnp.tile((bias - mean[:, None] * scale * rstd[:, None]
+                   ).reshape(C), G)
+    y = None if res_pv is None else res_pv.data
+    out = _affine_res_call(u_pv.data, y, sc, bs, u_pv.th, u_pv.h,
+                           u_pv.w, bool(relu), res_pv is not None,
                            interpret=interpret)
+    return PackedVol(out, 0, u_pv.d, u_pv.h, u_pv.w, u_pv.th)
+
+
+# ---------------------------------------------------------------------------
+# 8-parity pack: interleave the transpose-conv parity outputs
+# (convt1_parity below) straight into the packed layout, with fused
+# GroupNorm partial moments — the hourglass exit never materializes a
+# dense full-res volume.
+
+
+def _pack_zpair_kernel(z0_ref, z1_ref, e_ref, o_ref, ps_ref, *, w, wp,
+                       nh):
+    hi = pl.program_id(1)
+    is_pad = (hi == 0) | (hi == nh - 1)
+
+    @pl.when(jnp.logical_not(is_pad))
+    def _():
+        th = o_ref.shape[1]
+        # lane group g holds z = 4k + g: parity r = g % 2, m = 2k + g//2
+        order = (z0_ref[0, 0], z1_ref[0, 0], z0_ref[0, 1], z1_ref[0, 1])
+        acc = jnp.zeros((th * w, L), jnp.float32)
+        for g in range(G):
+            acc = acc + jax.lax.dot(
+                order[g].reshape(th * w, C), e_ref[g],
+                preferred_element_type=jnp.float32)
+        ps_ref[0, 0, 0, :] = jnp.sum(acc, axis=0)
+        ps_ref[0, 0, 1, :] = jnp.sum(acc * acc, axis=0)
+        res = acc.reshape(th, w, L).astype(o_ref.dtype)
+        o_ref[0] = jnp.concatenate(
+            [res, jnp.zeros((th, wp - w, L), o_ref.dtype)], axis=1)
+
+    @pl.when(is_pad)
+    def _z():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        ps_ref[:] = jnp.zeros_like(ps_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('th', 'interpret'))
+def _pack_zpair_call(z0, z1, th=8, interpret=False):
+    d2, h, w, c = z0.shape
+    nb = d2 // 2
+    hp = h + 2 * th
+    wp = _round_up(w + 1, 16)
+    nh = hp // th
+    nhi = h // th
+    z0b = z0.reshape(nb, 2, h, w, c)
+    z1b = z1.reshape(nb, 2, h, w, c)
+
+    def row(hi):
+        return jnp.clip(hi - 1, 0, nhi - 1)
+
+    out, ps = pl.pallas_call(
+        functools.partial(_pack_zpair_kernel, w=w, wp=wp, nh=nh),
+        grid=(nb, nh),
+        in_specs=[
+            pl.BlockSpec((1, 2, th, w, C),
+                         lambda k, hi: (k, 0, row(hi), 0, 0)),
+            pl.BlockSpec((1, 2, th, w, C),
+                         lambda k, hi: (k, 0, row(hi), 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, th, wp, L), lambda k, hi: (k, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 2, L), lambda k, hi: (k, hi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, hp, wp, L), z0.dtype),
+            jax.ShapeDtypeStruct((nb, nh, 2, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(z0b, z1b, _place_mats(z0.dtype))
+    return out, ps
+
+
+def pack_parity8(par, th=8, interpret=False):
+    """(8, D2, H2, W2, 32) parity sub-volumes (index p = 4*rz + 2*ry +
+    rx from `convt1_parity`) -> (PackedVol phase 0 of the interleaved
+    (2D2, 2H2, 2W2, 32) volume, partial moments (NB, NH, 2, 128)).
+
+    The H/W interleaves run in XLA (stack+reshape with C minor —
+    contiguous copies at memory bandwidth); only the z-lane placement
+    needs the MXU pack kernel (Mosaic has no sublane shuffles)."""
+    d2, h2, w2, c = par.shape[1:]
+    assert d2 % 2 == 0 and (2 * h2) % th == 0
+    p = par.reshape(2, 2, 2, d2, h2, w2, c)
+    # x then y interleave: (rz, d2, h2, 2, w2, 2, c) -> full H, W
+    p = p.transpose(0, 3, 4, 1, 5, 2, 6)       # (rz, d2, h2, ry, w2, rx, c)
+    zpar = p.reshape(2, d2, 2 * h2, 2 * w2, c)
+    data, ps = _pack_zpair_call(zpar[0], zpar[1], th=th,
+                                interpret=interpret)
+    return (PackedVol(data, 0, 2 * d2, 2 * h2, 2 * w2, th), ps)
+
+
+def convt1_parity(x, kernel):
+    """ConvTransposeNorm's transposed conv (torch k3/s2/p1/op1
+    semantics; models/layers.py ConvTransposeNorm) as 27 half-res
+    matmul taps accumulated into 8 parity sub-volumes.
+
+    x: (D2, H2, W2, Cin); kernel: (3, 3, 3, Cin, Cout) in
+    nn.ConvTranspose layout. Returns (8, D2, H2, W2, Cout) with index
+    p = 4*rz + 2*ry + rx: out[2m+rz, 2n+ry, 2t+rx] = par[p, m, n, t].
+
+    Per dim, parity 0 uses tap k[1] at src offset 0; parity 1 uses
+    k[0] at offset 0 and k[2] at offset +1 (y[2m+1] = x[m]*k[0] +
+    x[m+1]*k[2]; flax ConvTranspose does not flip the kernel).
+    """
+    d2, h2, w2, cin = x.shape
+    cout = kernel.shape[-1]
+    k = jnp.asarray(kernel, x.dtype)
+    taps = {0: ((1, 0),), 1: ((0, 0), (2, 1))}
+    outs = []
+    for rz in range(2):
+        for ry in range(2):
+            for rx in range(2):
+                acc = jnp.zeros((d2, h2, w2, cout), jnp.float32)
+                for kz, oz in taps[rz]:
+                    for ky, oy in taps[ry]:
+                        for kx, ox in taps[rx]:
+                            src = x
+                            if oz or oy or ox:
+                                src = jnp.pad(
+                                    x, ((0, oz), (0, oy), (0, ox),
+                                        (0, 0))
+                                )[oz:, oy:, ox:]
+                            acc = acc + jnp.einsum(
+                                'dhwc,co->dhwo', src, k[kz, ky, kx],
+                                preferred_element_type=jnp.float32)
+                outs.append(acc.astype(x.dtype))
+    return jnp.stack(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,123 @@ def test_backbone_packed_vs_dense(monkeypatch):
         assert a.shape == b_.shape
         # bf16 compute: identical math up to accumulation order
         np.testing.assert_allclose(a, b_, atol=0.15, rtol=0.15)
+
+
+def test_conv_s2_p2d_vs_dense_strided(data):
+    from dfm_tpu.ops.pallas.conv_chain import conv_s2_p2d
+    rng = np.random.RandomState(7)
+    x, _ = data
+    k64 = (rng.randn(3, 3, 3, 32, 64) * 0.1).astype(np.float32)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x)[None], jnp.asarray(k64), (2, 2, 2), [(1, 1)] * 3,
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))[0]
+    for phase in (0, 2):
+        pv = pack_vol_ref(jnp.asarray(x), phase=phase)
+        out, ps = conv_s2_p2d(pv, jnp.asarray(k64), th2=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+        su = np.asarray(ps[..., 0, :]).sum(axis=(0, 1))
+        lane = np.zeros(128)
+        r = np.asarray(ref)
+        for g2 in range(2):
+            lane[g2 * 64:(g2 + 1) * 64] = r[g2::2].sum(axis=(0, 1, 2))
+        np.testing.assert_allclose(su, lane, rtol=1e-4, atol=1e-3)
+
+
+def test_gn_affine_res_packed_matches_unpack(data):
+    from dfm_tpu.ops.pallas.conv_chain import gn_affine_res_packed
+    rng = np.random.RandomState(8)
+    x, k = data
+    sc = (rng.rand(32) + 0.5).astype(np.float32)
+    bs = rng.randn(32).astype(np.float32)
+    pv2 = pack_vol_ref(jnp.asarray(x), phase=2)
+    u, ps = conv_p2p(pv2, jnp.asarray(k), interpret=True)
+    dense_ref = np.asarray(unpack_affine_res(
+        u, ps, sc, bs, 32, res_pv=pv2, relu=False, interpret=True))
+    out_pv = gn_affine_res_packed(u, ps, sc, bs, 32, res_pv=pv2,
+                                  relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(out_pv)),
+                               dense_ref, atol=1e-5)
+    # stored padding must remain exactly zero
+    dat = np.asarray(out_pv.data)
+    mask = np.ones_like(dat, bool)
+    mask[:, out_pv.th:out_pv.th + H, :W, :] = False
+    assert np.abs(dat[mask]).max() == 0.0
+
+
+def test_convt1_parity_and_pack8_vs_convtranspose(data):
+    import flax.linen as nn
+    from dfm_tpu.ops.pallas.conv_chain import convt1_parity, pack_parity8
+    rng = np.random.RandomState(9)
+    d2, h2, w2 = D // 2, H // 2, W // 2
+    x = jnp.asarray(rng.randn(d2, h2, w2, 64).astype(np.float32))
+    mod = nn.ConvTranspose(32, (3, 3, 3), strides=(2, 2, 2),
+                           padding=[(1, 2)] * 3, use_bias=False)
+    v = mod.init(jax.random.PRNGKey(0), x[None])
+    ref = np.asarray(mod.apply(v, x[None])[0])
+    par = convt1_parity(x, v['params']['kernel'])
+    pv, ps = pack_parity8(par, th=TH, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(pv)), ref,
+                               atol=1e-4)
+    su = np.asarray(ps[..., 0, :]).sum(axis=(0, 1))
+    lane = ref.reshape(D // 4, 4, H, W, 32).transpose(1, 4, 0, 2, 3)
+    lane = lane.reshape(4, 32, -1).sum(-1).reshape(128)
+    np.testing.assert_allclose(su, lane, rtol=1e-3, atol=1e-3)
+
+
+def test_packed_hourglass_vs_dense_hourglass():
+    """packed_hourglass == x + Hourglass(x) on identical params."""
+    from dfm_tpu.models.backbones.dfm_backbone import (HourglassParams,
+                                                       packed_hourglass)
+    from dfm_tpu.models.layers import Hourglass
+    rng = np.random.RandomState(10)
+    x = rng.randn(D, H, W, 32).astype(np.float32)
+    hg = Hourglass(32, ndim=3, norm='gn')
+    vh = hg.init(jax.random.PRNGKey(1), jnp.asarray(x)[None])
+    res, _, _ = hg.apply(vh, jnp.asarray(x)[None])
+    ref = np.asarray(x + res[0])
+
+    # graft the dense hourglass's params onto the holder tree (they
+    # are interchangeable by construction)
+    hp = HourglassParams(32).apply({'params': vh['params']})
+    pv = pack_vol_ref(jnp.asarray(x), phase=0)
+    out_pv = packed_hourglass(pv, hp, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(out_pv)), ref,
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_backbone_packed_hg_vs_dense(monkeypatch):
+    """Integrated DfMBackbone with the FULL packed chain (stem +
+    hourglass + pred) == dense path."""
+    from dfm_tpu.models.backbones.dfm_backbone import DfMBackbone
+    rng = np.random.RandomState(11)
+    b, hf, wf, c = 1, 64, 64, 32
+    d = 8
+    cur = jnp.asarray(rng.randn(b, hf, wf, c).astype(np.float32))
+    prev = jnp.asarray(rng.randn(b, hf, wf, c).astype(np.float32))
+    depths = jnp.linspace(2.0, 10.0, d)
+    cam = np.eye(4, dtype=np.float32)
+    cam[0, 0] = cam[1, 1] = 50.0
+    cam[0, 2], cam[1, 2] = wf / 2, hf / 2
+    cam2img = jnp.tile(jnp.asarray(cam)[None], (b, 1, 1))
+    c2p = np.eye(4, dtype=np.float32)
+    c2p[0, 3] = 0.3
+    cur2prev = jnp.tile(jnp.asarray(c2p)[None], (b, 1, 1))
+
+    def run():
+        mdl = DfMBackbone(in_channels=c, cv_channels=32,
+                          cost_sample_factor=4, num_depth_bins_out=d,
+                          norm='gn', dtype=jnp.bfloat16)
+        v = mdl.init(jax.random.PRNGKey(0), cur, prev, depths, cam2img,
+                     cur2prev)
+        out = mdl.apply(v, cur, prev, depths, cam2img, cur2prev)
+        return [np.asarray(o, np.float32) for o in out]
+
+    monkeypatch.setenv('DFM_PACKED', '0')
+    dense = run()
+    monkeypatch.setenv('DFM_PACKED', 'interpret')
+    monkeypatch.setenv('DFM_PACKED_HG', '1')
+    packd = run()
+    for a, b_ in zip(dense, packd):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(a, b_, atol=0.15, rtol=0.15)

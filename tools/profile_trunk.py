@@ -101,6 +101,53 @@ def main():
                 res, _, _ = hg.apply(vh, x)
                 return x + res
             t = chain_time(f, (vol,))
+        elif s == 'hg_packed':
+            from dfm_tpu.ops.pallas.conv_chain import pack_vol, unpack_vol
+            hp_tree = params['hg_stereo_0']
+            hp = dbb.HourglassParams(cfg.cv_channels).apply(
+                {'params': hp_tree})
+
+            def f(x):
+                def one(xi):
+                    pv = pack_vol(xi, phase=0)
+                    out = dbb.packed_hourglass(pv, hp)
+                    return unpack_vol(out)
+                return jax.lax.cond(
+                    jnp.isfinite(x[0, 0, 0, 0, 0]), one,
+                    lambda xi: jnp.zeros(xi.shape, xi.dtype), x[0])
+            t = chain_time(f, (vol,))
+        elif s == 'chain_all':
+            from dfm_tpu.ops.pallas.conv_chain import (conv_p2p, pack_vol,
+                                                       unpack_affine_res,
+                                                       unpack_vol)
+            k0 = params['dres0_stereo']['Conv_0']['kernel']
+            gn0 = (params['dres0_stereo']['GroupNorm_0']['scale'],
+                   params['dres0_stereo']['GroupNorm_0']['bias'])
+            k1 = params['dres1_stereo']['Conv_0']['kernel']
+            gn1 = (params['dres1_stereo']['GroupNorm_0']['scale'],
+                   params['dres1_stereo']['GroupNorm_0']['bias'])
+            hp = dbb.HourglassParams(cfg.cv_channels).apply(
+                {'params': params['hg_stereo_0']})
+            kp = params['pred_stereo']['ConvNorm_0']['Conv_0']['kernel']
+            sps = params['pred_stereo']['ConvNorm_0']['GroupNorm_0']['scale']
+            spb = params['pred_stereo']['ConvNorm_0']['GroupNorm_0']['bias']
+
+            def f(cur, prev):
+                def one(args):
+                    c, p = args
+                    pv = pack_vol(p, phase=0)
+                    x_pv = dbb.packed_stereo_stem(
+                        c, pv, k0, gn0, k1, gn1, 32, keep_packed=True)
+                    x_pv = dbb.packed_hourglass(x_pv, hp)
+                    up, psp = conv_p2p(x_pv, kp)
+                    pf = unpack_affine_res(up, psp, sps, spb, 32,
+                                           relu=True)
+                    return unpack_vol(x_pv), pf
+                z = jnp.zeros(prev.shape[1:], prev.dtype)
+                return jax.lax.cond(
+                    jnp.isfinite(prev[0, 0, 0, 0, 0]), one,
+                    lambda a: (z, z), (cur[0], prev[0]))
+            t = chain_time(f, (cur2d, vol))
         elif s == 'mono':
             from dfm_tpu.ops.band_volume import band_add, band_from_const
             from dfm_tpu.ops.reduced_depth import make_reduced_plan
