@@ -13,9 +13,11 @@ on those frames. Build the data root first:
   python tools/test.py configs/dfm_r18_mini_overfit.py \
       --checkpoint work_dirs/mini_overfit/ckpts --eval kitti
 
-Shapes are cut for CPU/one-chip turnaround: 192x640 crop (bottom/center
-crop keeps the frame-000000 pedestrian fully in view), 48 depth bins
-over [2, 26] m (0.5 m resolution at the GT depth of 8.4 m), 26x13 m BEV.
+Shapes are cut for CPU/one-chip turnaround: 256x640 crop (the bottom/
+center crop keeps both the frame-000000 pedestrian and the velodyne
+depth pixels — which project at original rows ~120-155 — in view),
+48 depth bins over [2, 26] m (0.5 m resolution at the GT depth of
+8.4 m), 26x13 m BEV.
 """
 
 model = dict(
@@ -45,7 +47,7 @@ model = dict(
 data = dict(
     type='KittiDataset',
     data_root='data/mini_kitti',
-    crop_size=(192, 640),
+    crop_size=(256, 640),
     scale_range=(1.0, 1.0),
     flip_ratio=0.0,
     num_ref_imgs=1,

@@ -284,6 +284,44 @@ class KittiDataset:
         return load_video_sample(info, self.data_root, rng,
                                  train=self.train, **self.pipeline_kwargs)
 
+    def get_cat_ids(self, idx):
+        """Category ids present in frame `idx` (CBGSDataset hook)."""
+        labels = np.asarray(self.infos[idx]['annos']['labels'])
+        return set(int(c) for c in labels[labels >= 0])
+
+    def gt_annos(self):
+        """Official-protocol GT annos for `kitti_eval` — the
+        `annos_eval` view when present (original names so clean_data
+        applies the DontCare/Van ignore rules), else rebuilt from the
+        pseudo-lidar boxes."""
+        out = []
+        for info in self.infos:
+            if 'annos_eval' in info:
+                out.append(dict(info['annos_eval']))
+                continue
+            a = info['annos']
+            pl = np.asarray(a['gt_boxes_pl']).reshape(-1, 7)
+            out.append(dict(
+                name=np.asarray(a['names']), truncated=a['truncated'],
+                occluded=a['occluded'], bbox=a['bbox2d'],
+                dimensions=np.stack([pl[:, 3], pl[:, 5], pl[:, 4]], 1),
+                location=np.stack([-pl[:, 1], -pl[:, 2], pl[:, 0]], 1),
+                rotation_y=-pl[:, 6] - np.pi / 2))
+        return out
+
+    def evaluate(self, results):
+        """Detections -> official KITTI AP dict (reference
+        KittiDataset.evaluate, datasets/kitti_dataset.py:392-476 ->
+        kitti_eval). `results[i]`: dict with 'boxes3d' (M, 7)
+        pseudo-lidar, 'scores', 'labels', 'mask' for frame i."""
+        from ..evaluation import detections_to_kitti_annos, kitti_eval
+        dt_annos = []
+        for info, det in zip(self.infos, results):
+            dt_annos.append(detections_to_kitti_annos(
+                det, np.asarray(info['calib']['P2'])[:3],
+                info.get('image', {}).get('image_shape', (375, 1242))))
+        return kitti_eval(self.gt_annos()[:len(dt_annos)], dt_annos)
+
 
 def _pad44(m):
     out = np.eye(4)

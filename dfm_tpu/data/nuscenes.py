@@ -54,6 +54,44 @@ class NuScenesMonoDataset:
     def __len__(self):
         return len(self.infos)
 
+    def get_cat_ids(self, idx):
+        """Category ids present in sample `idx` (CBGSDataset hook;
+        reference nuscenes_dataset.py:154)."""
+        return set(self.classes.index(n)
+                   for n in self.infos[idx]['gt_names']
+                   if n in self.classes)
+
+    def evaluate(self, results):
+        """Per-sample padded detections -> NDS metric dict (reference
+        NuScenesDataset.evaluate -> nuscenes devkit; hermetic
+        reimplementation in `nuscenes_detection_metrics`).
+
+        `results[i]`: dict with 'boxes' (N, 9) [x,y,z,w,l,h,yaw,vx,vy],
+        'scores' (N,), 'labels' (N,), optional 'attrs', optional
+        'mask' to drop padding rows."""
+        preds, gts = [], []
+        for info, det in zip(self.infos, results):
+            m = np.asarray(det.get(
+                'mask', np.ones(len(det['scores']), bool))).astype(bool)
+            preds.append(dict(
+                boxes=np.asarray(det['boxes'])[m],
+                scores=np.asarray(det['scores'])[m],
+                labels=np.asarray(det['labels'])[m],
+                attrs=np.asarray(det['attrs'])[m]
+                if 'attrs' in det else None))
+            labels = np.asarray(
+                [self.classes.index(n) if n in self.classes else -1
+                 for n in info['gt_names']], np.int64)
+            keep = labels >= 0
+            boxes = np.asarray(info['gt_boxes'],
+                               np.float32).reshape(-1, 9)[keep]
+            gt = dict(boxes=boxes, labels=labels[keep])
+            if 'gt_attrs' in info:
+                gt['attrs'] = np.asarray(info['gt_attrs'])[keep]
+            gts.append(gt)
+        return nuscenes_detection_metrics(preds, gts,
+                                          classes=self.classes)
+
     def get_sample(self, idx, rng=None):
         import cv2
         info = self.infos[idx]

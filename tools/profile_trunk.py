@@ -173,6 +173,32 @@ def main():
                     {'params': params['pred_mono']}, mono_red, plan)
                 return mono_cost[:, plan.expand_idx]
             t = chain_time(f, (cur2d,))
+        elif s == 'mono_stem':
+            from dfm_tpu.ops.band_volume import band_add, band_from_const
+            from dfm_tpu.ops.reduced_depth import make_reduced_plan
+
+            def f(cur):
+                m0 = dbb.BandConvNorm(cfg.cv_channels, dtype=dt).apply(
+                    {'params': params['dres0_mono']},
+                    band_from_const(cur, d))
+                m1 = dbb.BandConvNorm(cfg.cv_channels, act=False,
+                                      dtype=dt).apply(
+                    {'params': params['dres1_mono']}, m0)
+                mono_band = band_add(m1, m0)
+                plan = make_reduced_plan(d, e=mono_band.lo.shape[1])
+                return dbb._assemble_reduced(mono_band, plan)
+            t = chain_time(f, (cur2d,))
+        elif s == 'mono_hg':
+            from dfm_tpu.ops.reduced_depth import make_reduced_plan
+            plan = make_reduced_plan(d, e=2)
+            xr = jnp.asarray(rng.randn(b, plan.dr, hq, wq, 32
+                                       ).astype(np.float32)).astype(dt)
+
+            def f(x):
+                res = dbb.RedHourglass(cfg.cv_channels, dtype=dt).apply(
+                    {'params': params['hg_mono_0']}, x, plan)
+                return x + res
+            t = chain_time(f, (xr,))
         elif s == 'pred_stereo':
             mod = dbb.DepthPredModule(cfg.cv_channels, 'gn', dt)
             vp = {'params': params['pred_stereo']}
@@ -181,7 +207,7 @@ def main():
             t = chain_time(f, (vol,))
         elif s == 'pred_mono':
             from dfm_tpu.ops.reduced_depth import make_reduced_plan
-            plan = make_reduced_plan(d, e=3)
+            plan = make_reduced_plan(d, e=2)
             dr = plan.dr
             xr = jnp.asarray(rng.randn(b, dr, hq, wq, 32
                                        ).astype(np.float32)).astype(dt)

@@ -33,7 +33,15 @@ def parse_args():
                         'init if omitted')
     p.add_argument('--cfg-options', nargs='*', default=None)
     p.add_argument('--eval', default='kitti',
-                   help='metric: kitti | none')
+                   help='metric: kitti | waymo | nuscenes | lyft | none')
+    p.add_argument('--waymo-gt-bin', default=None,
+                   help='GT .bin for --eval waymo (default: '
+                        '<data_root>/gt.bin, built from the val infos '
+                        'when absent)')
+    p.add_argument('--fuse-conv-bn', action='store_true',
+                   help='fold BatchNorm into conv kernels before '
+                        'inference (utils/fuse_conv_bn.py; no-op for '
+                        'GN-normalized models like DfM/LIGA)')
     p.add_argument('--synthetic', action='store_true',
                    help='decode on an adapter-generated batch '
                         '(no dataset needed)')
@@ -45,15 +53,19 @@ def parse_args():
 def restore_variables(args, variables):
     import jax
     from dfm_tpu.runtime import CheckpointManager
-    if not args.checkpoint:
-        return variables
-    ckpt = CheckpointManager(args.checkpoint)
-    restored = ckpt.restore_model(
-        jax.device_get(variables['params']),
-        jax.device_get(variables.get('batch_stats', {})))
-    print(f'restored step {int(restored["step"])}')
-    return {'params': restored['params'],
-            'batch_stats': restored['batch_stats']}
+    if args.checkpoint:
+        ckpt = CheckpointManager(args.checkpoint)
+        restored = ckpt.restore_model(
+            jax.device_get(variables['params']),
+            jax.device_get(variables.get('batch_stats', {})))
+        print(f'restored step {int(restored["step"])}')
+        variables = {'params': restored['params'],
+                     'batch_stats': restored['batch_stats']}
+    if getattr(args, 'fuse_conv_bn', False):
+        from dfm_tpu.utils.fuse_conv_bn import fuse_conv_bn
+        variables = fuse_conv_bn(variables)
+        print('[fuse] BatchNorm folded into conv kernels')
+    return variables
 
 
 def synthetic_eval(args, handle, adapter):
@@ -199,6 +211,173 @@ def indoor_real_eval(args, cfg, handle, adapter):
             pickle.dump(results, f)
 
 
+def waymo_real_eval(args, cfg, handle, adapter):
+    """Restore -> multi-view inference -> Objects .bin -> LET metrics
+    (reference tools/test.py:130 -> WaymoDataset.format_results ->
+    metric shell-out, datasets/waymo_dataset.py:405-720; hermetic
+    LET-mAP fallback when the official binary is absent)."""
+    import jax
+    import jax.numpy as jnp
+    from dfm_tpu.data.waymo import WaymoDataset
+    d = cfg.data
+    ds = WaymoDataset(
+        d.data_root, os.path.join(d.data_root, 'waymo_infos_val.pkl'),
+        num_frames=d.get('num_frames', 1),
+        target_hw=tuple(d.get('target_hw', (640, 960))),
+        num_views=d.get('num_views', 5), max_gt=d.get('max_gt', 64),
+        load_mode=d.get('load_mode', 'lidar_frame'),
+        cam_sync=d.get('cam_sync', False))
+
+    def to_batch(s):
+        return {('img' if k == 'imgs' else k):
+                jnp.asarray(np.asarray(v)[None]) for k, v in s.items()}
+
+    batch0 = to_batch(ds.get_sample(0))
+    variables = handle.module.init(
+        jax.random.PRNGKey(0), *adapter.model_args(batch0), train=False)
+    variables = restore_variables(args, variables)
+
+    @jax.jit
+    def infer(variables, *margs):
+        return handle.module.apply(variables, *margs, train=False)
+
+    n = min(len(ds), args.max_samples or len(ds))
+    results = []
+    for i in range(n):
+        batch = to_batch(ds.get_sample(i))
+        out = infer(variables, *adapter.model_args(batch))
+        det = adapter.predict(handle, out, batch)
+        det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
+        m = np.asarray(det0.get('mask', det0['scores'] > 0)).astype(bool)
+        results.append(dict(boxes_3d=det0['boxes3d'][m],
+                            labels_3d=det0['labels'][m],
+                            scores_3d=det0['scores'][m]))
+        print(f'[{i + 1}/{n}] dets={int(m.sum())}', flush=True)
+
+    ds.infos = ds.infos[:len(results)]
+    gt_bin = args.waymo_gt_bin or os.path.join(d.data_root, 'gt.bin')
+    if not os.path.exists(gt_bin):
+        from dfm_tpu.evaluation.waymo_eval import gt_annos_to_bin
+
+        from tools.create_waymo_gt_bin import gt_objects_from_infos
+        gt_bin = os.path.join('/tmp', 'waymo_gt_cli.bin')
+        n_gt = gt_annos_to_bin(gt_objects_from_infos(
+            ds.infos, cam_sync=d.get('cam_sync', False)), gt_bin)
+        print(f'[gt] built {gt_bin} ({n_gt} objects) from val infos')
+    res = ds.evaluate(results, gt_bin)
+    for k in sorted(res):
+        v = res[k]
+        if isinstance(v, float):
+            print(f'{k}: {v:.4f}')
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+
+
+def nuscenes_real_eval(args, cfg, handle, adapter):
+    """Restore -> mono inference -> NDS metrics (reference
+    NuScenesMonoDataset.evaluate -> nuscenes devkit; hermetic metric
+    in data/nuscenes.py)."""
+    import jax
+    import jax.numpy as jnp
+    from dfm_tpu.data.nuscenes import NuScenesMonoDataset
+    d = cfg.data
+    ds = NuScenesMonoDataset(
+        d.data_root, d.get('ann_file', 'nuscenes_infos_mono_val.pkl'),
+        max_gt=d.get('max_gt', 48))
+    s0 = ds.get_sample(0)
+    img0 = jnp.asarray(s0['img'][None].astype(np.float32))
+    variables = handle.module.init(jax.random.PRNGKey(0), img0,
+                                   train=False)
+    variables = restore_variables(args, variables)
+
+    @jax.jit
+    def infer(variables, img):
+        return handle.module.apply(variables, img, train=False)
+
+    n = min(len(ds), args.max_samples or len(ds))
+    results = []
+    for i in range(n):
+        s = ds.get_sample(i)
+        img = jnp.asarray(s['img'][None].astype(np.float32))
+        out = infer(variables, img)
+        det = adapter.predict(handle, out, dict(
+            img=img, cam2img=jnp.asarray(s['cam2img'])[None]))
+        det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
+        m = np.asarray(det0.get('mask', det0['scores'] > 0)).astype(bool)
+        boxes = np.asarray(det0.get('boxes3d', det0.get('boxes')))[m]
+        if boxes.shape[-1] == 7:          # pad velocities for the metric
+            boxes = np.concatenate(
+                [boxes, np.zeros((len(boxes), 2), boxes.dtype)], -1)
+        results.append(dict(boxes=boxes, scores=det0['scores'][m],
+                            labels=det0['labels'][m],
+                            attrs=det0['attrs'][m]
+                            if 'attrs' in det0 else None))
+        print(f'[{i + 1}/{n}] dets={int(m.sum())}', flush=True)
+    ds.infos = ds.infos[:len(results)]
+    res = ds.evaluate(results)
+    for k in sorted(res):
+        v = res[k]
+        if isinstance(v, float):
+            print(f'{k}: {v:.4f}')
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+
+
+def lyft_real_eval(args, cfg, handle, adapter):
+    """Restore -> LiDAR inference -> Kaggle Lyft mAP
+    (reference LyftDataset.evaluate -> lyft devkit mAP; hermetic
+    metric in data/lyft.py)."""
+    import jax
+    import jax.numpy as jnp
+    from dfm_tpu.data.lyft import LyftDataset
+    d = cfg.data
+    ds = LyftDataset(
+        d.data_root,
+        os.path.join(d.data_root, d.get('ann_file',
+                                        'lyft_infos_val.pkl')),
+        train=False, max_points=d.get('max_points', 32768),
+        max_gt=d.get('max_gt', 64),
+        sweeps_num=d.get('sweeps_num', 0))
+    s0 = ds.get_sample(0)
+    batch0 = {k: jnp.asarray(np.asarray(v)[None])
+              for k, v in s0.items()}
+    variables = handle.module.init(
+        jax.random.PRNGKey(0), *adapter.model_args(batch0), train=False)
+    variables = restore_variables(args, variables)
+
+    @jax.jit
+    def infer(variables, *margs):
+        return handle.module.apply(variables, *margs, train=False)
+
+    n = min(len(ds), args.max_samples or len(ds))
+    results = []
+    for i in range(n):
+        batch = {k: jnp.asarray(np.asarray(v)[None])
+                 for k, v in ds.get_sample(i).items()}
+        out = infer(variables, *adapter.model_args(batch))
+        det = adapter.predict(handle, out, batch)
+        det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
+        m = np.asarray(det0.get('mask', det0['scores'] > 0)).astype(bool)
+        results.append(dict(boxes3d=det0['boxes3d'][m],
+                            scores=det0['scores'][m],
+                            labels=det0['labels'][m]))
+        print(f'[{i + 1}/{n}] dets={int(m.sum())}', flush=True)
+    ds.infos = ds.infos[:len(results)]
+    res = ds.evaluate(results)
+    for k in sorted(res):
+        v = res[k]
+        if isinstance(v, float):
+            print(f'{k}: {v:.4f}')
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+
+
 def seg_real_eval(args, cfg, handle):
     """Restore -> sliding-patch inference per scene -> mIoU
     (reference tools/test.py -> Custom3DSegDataset.evaluate ->
@@ -261,7 +440,13 @@ def main():
         synthetic_eval(args, handle, adapter)
         return
     info = {'SUNRGBDDataset': 'sunrgbd_infos_val.pkl',
-            'ScanNetDataset': 'scannet_infos_val.pkl'}.get(
+            'ScanNetDataset': 'scannet_infos_val.pkl',
+            'WaymoDataset': 'waymo_infos_val.pkl',
+            'NuScenesMonoDataset': cfg.data.get(
+                'ann_file', 'nuscenes_infos_mono_val.pkl')
+            if 'data' in cfg else '',
+            'LyftDataset': cfg.data.get('ann_file', 'lyft_infos_val.pkl')
+            if 'data' in cfg else ''}.get(
                 dtype_name, 'kitti_infos_val.pkl')
     have_data = bool(data_root) and os.path.exists(
         os.path.join(data_root, info))
@@ -278,6 +463,15 @@ def main():
         return
     if dtype_name in ('SUNRGBDDataset', 'ScanNetDataset'):
         indoor_real_eval(args, cfg, handle, adapter)
+        return
+    if dtype_name == 'WaymoDataset' or args.eval == 'waymo':
+        waymo_real_eval(args, cfg, handle, adapter)
+        return
+    if dtype_name == 'NuScenesMonoDataset' or args.eval == 'nuscenes':
+        nuscenes_real_eval(args, cfg, handle, adapter)
+        return
+    if dtype_name == 'LyftDataset' or args.eval == 'lyft':
+        lyft_real_eval(args, cfg, handle, adapter)
         return
     print(f'[data] no real-data eval wired for {handle.type}; running '
           'synthetic eval smoke')
