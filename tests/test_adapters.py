@@ -152,5 +152,7 @@ def test_one_grad_step(ttype):
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
-# grad-step sweeps: full tier only (CLI smokes cover the fast path)
-pytestmark = pytest.mark.slow
+# grad-step sweeps: excluded from the fast tier, selectable as their
+# own mid tier (`pytest -m family_smoke`) so every family's grad step
+# runs each round without paying the full slow tier
+pytestmark = [pytest.mark.slow, pytest.mark.family_smoke]

@@ -20,9 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('dataset', choices=['kitti', 'waymo', 'nuscenes'])
+    p.add_argument('dataset', choices=['kitti', 'waymo', 'nuscenes',
+                                       'sunrgbd', 'scannet', 's3dis',
+                                       'lyft'])
     p.add_argument('--root', default='data/kitti')
     p.add_argument('--splits', nargs='*', default=['train', 'val'])
+    p.add_argument('--version', default='v1.01-train',
+                   help='lyft table version directory')
+    p.add_argument('--max-sweeps', type=int, default=10)
+    p.add_argument('--areas', nargs='*',
+                   default=['Area_1', 'Area_2', 'Area_3', 'Area_4',
+                            'Area_5', 'Area_6'],
+                   help='s3dis areas to convert')
     p.add_argument('--with-gt-db', action='store_true',
                    help='also build the cut-and-paste GT database from '
                         'the train split (reference '
@@ -37,6 +46,39 @@ def main():
             '--tfrecord-dir ... --out <root>/kitti_format (hermetic — '
             'no devkit needed), then tools/create_waymo_gt_bin.py '
             'for the eval GT bin')
+    if args.dataset == 'lyft':
+        from dfm_tpu.data.lyft_converter import create_lyft_infos
+        tr, va = create_lyft_infos(args.root, args.version,
+                                   max_sweeps=args.max_sweeps)
+        for split, data in (('train', tr), ('val', va)):
+            out = os.path.join(args.root, f'lyft_infos_{split}.pkl')
+            with open(out, 'wb') as f:
+                pickle.dump(data, f)
+            print(f'wrote {len(data["infos"])} infos -> {out}')
+        return
+    if args.dataset in ('sunrgbd', 'scannet', 's3dis'):
+        from dfm_tpu.data import indoor_converter as ic
+        if args.dataset == 's3dis':
+            for area in args.areas:
+                try:
+                    infos = ic.build_s3dis_infos(args.root, area)
+                except FileNotFoundError:
+                    print(f'{area}: no s3dis_data files, skipped')
+                    continue
+                out = os.path.join(args.root,
+                                   f's3dis_infos_{area}.pkl')
+                ic.write_infos(infos, out)
+                print(f'wrote {len(infos)} infos -> {out}')
+            return
+        build = (ic.build_sunrgbd_infos if args.dataset == 'sunrgbd'
+                 else ic.build_scannet_infos)
+        for split in args.splits:
+            infos = build(args.root, split)
+            out = os.path.join(args.root,
+                               f'{args.dataset}_infos_{split}.pkl')
+            ic.write_infos(infos, out)
+            print(f'wrote {len(infos)} infos -> {out}')
+        return
     if args.dataset == 'nuscenes':
         from dfm_tpu.data.nuscenes_converter import \
             build_nuscenes_mono_infos
