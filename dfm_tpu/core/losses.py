@@ -84,7 +84,10 @@ def iou3d_loss(pred_boxes, target_boxes, weights=None, avg_factor=None):
             pred_boxes, target_boxes)
     loss = 1.0 - iou
     if weights is not None:
-        loss = loss * weights
+        # hard select, not multiply: the rotated clip can emit
+        # inf/nan on degenerate (identical / zero-area) pairs and
+        # 0 * inf would poison the sum
+        loss = jnp.where(weights > 0, loss * weights, 0.0)
     total = jnp.sum(loss)
     if avg_factor is not None:
         total = total / avg_factor

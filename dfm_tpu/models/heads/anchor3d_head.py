@@ -183,15 +183,21 @@ def anchor3d_head_loss(preds,
         if use_iou_loss:
             decoded_pred = delta_xyzwlhr_decode(anchors, box_per[c])
             decoded_tgt = delta_xyzwlhr_decode(anchors, t['bbox_targets'])
-            # mask non-positives by substituting the anchor itself
-            # (iou == 1 -> zero loss) to keep static shapes
+            # keep static shapes: non-positives get the anchor itself
+            # substituted AND a zero weight. The weight matters — the
+            # rotated-polygon clip is numerically degenerate on
+            # identical boxes (edge-on-edge), and a rare garbage IoU
+            # there once summed to a -1.7e7 loss under the jitted
+            # grad path even though every positive pair was fine.
             msk = t['pos_mask'][..., None]
             decoded_pred = jnp.where(msk, decoded_pred, anchors)
             decoded_tgt = jnp.where(msk, decoded_tgt, anchors)
             flat_p = decoded_pred.reshape(-1, 7)
             flat_t = decoded_tgt.reshape(-1, 7)
-            terms['loss_iou'].append(
-                L.iou3d_loss(flat_p, flat_t, avg_factor=avg_reg))
+            terms['loss_iou'].append(L.iou3d_loss(
+                flat_p, flat_t,
+                weights=t['pos_mask'].reshape(-1).astype(jnp.float32),
+                avg_factor=avg_reg))
 
     def total(key):
         return jnp.stack(terms[key]).sum() if terms[key] else jnp.zeros(())

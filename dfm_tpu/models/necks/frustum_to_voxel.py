@@ -195,9 +195,30 @@ class FrustumToVoxel(nn.Module):
                                    cam2img)    # (B, Nz, Ny, Nx, C)
 
         for i in range(self.num_3dconvs):
-            vol = ConvNorm(self.out_channels, (3, 3, 3), norm=self.norm,
-                           dtype=self.dtype, name=f'voxel_conv{i}')(vol,
-                                                                    train)
+            cin = vol.shape[-1]
+            fuse = (self.dtype == jnp.bfloat16 and self.norm == 'gn'
+                    and cin >= 64 and 2 * cin <= 128
+                    and vol.shape[3] % 2 == 0)
+            if fuse:
+                # grouped-layout fused conv+GN+relu (+ the z avg-pool
+                # when this is the last conv): parameter tree matches
+                # ConvNorm so checkpoints are interchangeable
+                from ..backbones.dfm_backbone import _ParamsConvGN
+                from ..layers import grouped_convgn3d
+                k, sc, bs = _ParamsConvGN(cin, self.out_channels,
+                                          name=f'voxel_conv{i}')()
+                last = i == self.num_3dconvs - 1
+                gn_groups = 32 if self.out_channels % 32 == 0 and \
+                    self.out_channels >= 32 else self.out_channels
+                vol = grouped_convgn3d(
+                    vol, k, sc, bs, num_groups=gn_groups,
+                    pool_z=self.pool_z if last else 1)
+                if last:
+                    return vol
+            else:
+                vol = ConvNorm(self.out_channels, (3, 3, 3),
+                               norm=self.norm, dtype=self.dtype,
+                               name=f'voxel_conv{i}')(vol, train)
         # AvgPool3d((pool_z, 1, 1)) over z
         b, nz, ny, nx, c = vol.shape
         vol = vol.reshape(b, nz // self.pool_z, self.pool_z, ny, nx, c)

@@ -272,3 +272,27 @@ def test_backbone_packed_hg_vs_dense(monkeypatch):
     for a, b_ in zip(dense, packd):
         assert a.shape == b_.shape
         np.testing.assert_allclose(a, b_, atol=0.15, rtol=0.15)
+
+
+def test_grouped_convgn3d_matches_convnorm_pool():
+    """grouped_convgn3d == ConvNorm(gn, per-channel) + z-pool on the
+    same params (frustum voxel-conv fusion; models/layers.py)."""
+    import flax.linen as nn
+    from dfm_tpu.models.layers import ConvNorm, grouped_convgn3d
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 8, 16, 32, 64).astype(np.float32))
+    cn = ConvNorm(32, (3, 3, 3), norm='gn')
+    v = cn.init(jax.random.PRNGKey(0), x)
+    ref = cn.apply(v, x)
+    ref = np.asarray(ref.reshape(1, 2, 4, 16, 32, 32).mean(axis=2))
+    k = v['params']['Conv_0']['kernel']
+    sc = v['params']['GroupNorm_0']['scale']
+    bs = v['params']['GroupNorm_0']['bias']
+    out = grouped_convgn3d(x, k, sc, bs, pool_z=4, num_groups=32)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+    # grouped GN (4 channels/group) against a GroupNorm(8) ConvNorm
+    cn8 = ConvNorm(32, (3, 3, 3), norm='gn', groups=8)
+    ref8 = cn8.apply(v, x)
+    out8 = grouped_convgn3d(x, k, sc, bs, pool_z=1, num_groups=8)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
+                               atol=2e-5)
