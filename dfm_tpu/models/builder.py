@@ -251,6 +251,50 @@ def detector_types():
     return sorted(_BUILDERS)
 
 
+def _backbone_registry():
+    """type name -> flax module class (reference BACKBONES registry,
+    models/builder.py:16: every backbone is constructible by its
+    config type string)."""
+    from .backbones.dgcnn import DGCNNBackbone
+    from .backbones.dla import DLANet
+    from .backbones.liga_resnet import LIGAResNet
+    from .backbones.mink_resnet import MinkResNet
+    from .backbones.multi_backbone import MultiBackbone
+    from .backbones.nostem_regnet import NoStemRegNet
+    from .backbones.pointnet2 import PointNet2SASSG
+    from .backbones.pointnet2_msg import PointNet2SAMSG
+    from .backbones.second import SECOND
+    return {
+        'LIGAResNet': LIGAResNet,
+        'DLANet': DLANet,
+        'SECOND': SECOND,
+        'PointNet2SASSG': PointNet2SASSG,
+        'PointNet2SAMSG': PointNet2SAMSG,
+        'DGCNNBackbone': DGCNNBackbone,
+        'MinkResNet': MinkResNet,
+        'NoStemRegNet': NoStemRegNet,
+        'MultiBackbone': MultiBackbone,
+    }
+
+
+def backbone_types():
+    return sorted(_backbone_registry())
+
+
+def build_backbone(cfg_dict, dtype=jnp.float32):
+    """cfg_dict: {'type': name, **module kwargs} -> flax module
+    instance (the reference's build_backbone surface)."""
+    d = dict(cfg_dict)
+    t = d.pop('type')
+    reg = _backbone_registry()
+    if t not in reg:
+        raise KeyError(f'unknown backbone type {t!r}; known: '
+                       f'{backbone_types()}')
+    d = {k: (tuple(tuple(x) if isinstance(x, list) else x for x in v)
+             if isinstance(v, list) else v) for k, v in d.items()}
+    return reg[t](dtype=dtype, **d)
+
+
 def build_detector(model_cfg, dtype=None):
     """model_cfg: dict with 'type' plus config fields (see each
     detector's Config dataclass). An optional 'dtype' key (e.g.

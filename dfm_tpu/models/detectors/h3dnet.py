@@ -11,11 +11,17 @@ each is matched against the predicted primitive centers with a
 ball-query aggregation, and the matched primitive features refine the
 proposal (residual head + matching score).
 
-Reductions vs the reference, noted for parity review: 2 backbone
-towers instead of 4 (MultiBackbone; configurable), one shared
-primitive-matching radius, and the refinement consumes the
-concatenated matched features directly instead of separate
-surface/line SA modules with matching/semantic sub-scores.
+Two fidelity levels, both config-reachable:
+  * compact (`with_cues=False`): one shared ball-query over all
+    primitives, matched features consumed directly;
+  * reference structure (`with_cues=True`, shipped config): surface
+    keypoints match z/xy primitives and line keypoints match line
+    primitives with separate radii, per-cue objectness + semantic
+    sub-scores gate the matched features, and the
+    cues_objectness/cues_semantic losses supervise them with the
+    reference's near/far distance targets (h3d_bbox_head.py:806-870).
+`num_backbones` defaults to 2 for tests; the shipped config uses the
+reference's 4 towers.
 """
 
 import dataclasses
@@ -41,6 +47,21 @@ class H3DNetConfig(VoteNetConfig):
     refine_weight: float = 1.0
     flag_weight: float = 0.5
     center_weight: float = 0.5
+    # Reference-structure matching (h3d_bbox_head.py:118-560): when
+    # with_cues=True the surface keypoints match only the z/xy
+    # primitives and line keypoints only the line primitives, each
+    # with its own radius (suface_matching_cfg/line_matching_cfg,
+    # _base_/models/h3dnet.py:254-266 — both 0.5 in the shipped
+    # config), and per-cue objectness + semantic sub-scores gate the
+    # matched features and add the cues_objectness/cues_semantic
+    # losses (targets by near/far distance to GT surface/line
+    # centers, :806-870; train_cfg :324-325).
+    with_cues: bool = False
+    surface_radius: float = 0.5
+    line_radius: float = 0.5
+    cues_weight: float = 0.5
+    near_threshold: float = 0.3
+    far_threshold: float = 0.6
 
 
 def box_surface_line_centers(boxes):
@@ -135,18 +156,60 @@ class H3DNet(nn.Module):
         init_boxes = jax.lax.stop_gradient(init_boxes)
         surf, line = box_surface_line_centers(init_boxes)
 
-        prim_xyz = jnp.concatenate([prims[m][1] for m in
-                                    ('z', 'xy', 'line')], axis=1)
-        prim_feat = jnp.concatenate([prims[m][2] for m in
-                                     ('z', 'xy', 'line')], axis=1)
-        kp = jnp.concatenate([surf, line], axis=2)     # (B, P, 18, 3)
-        b, p, nk, _ = kp.shape
-        kp_flat = kp.reshape(b, p * nk, 3)
-        g = batched_ball_group(prim_xyz, prim_feat, kp_flat,
-                               cfg.primitive_radius, cfg.primitive_k)
-        g = nn.relu(nn.Dense(64, dtype=self.dtype, name='match0')(
-            g.astype(self.dtype)))
-        match = g.max(axis=2).reshape(b, p, nk * 64)
+        b, p = surf.shape[:2]
+        out_extra = {}
+        if cfg.with_cues:
+            # reference structure: surfaces match z+xy primitives,
+            # lines match line primitives, separate radii; per-cue
+            # objectness/semantic sub-scores gate the features
+            surf_xyz = jnp.concatenate([prims['z'][1], prims['xy'][1]],
+                                       axis=1)
+            surf_feat = jnp.concatenate([prims['z'][2], prims['xy'][2]],
+                                        axis=1)
+            gs = batched_ball_group(
+                surf_xyz, surf_feat, surf.reshape(b, p * 6, 3),
+                cfg.surface_radius, cfg.primitive_k)
+            gl = batched_ball_group(
+                prims['line'][1], prims['line'][2],
+                line.reshape(b, p * 12, 3),
+                cfg.line_radius, cfg.primitive_k)
+            gs = nn.relu(nn.Dense(64, dtype=self.dtype,
+                                  name='match_surf')(
+                                      gs.astype(self.dtype)))
+            gl = nn.relu(nn.Dense(64, dtype=self.dtype,
+                                  name='match_line')(
+                                      gl.astype(self.dtype)))
+            g = jnp.concatenate([gs.reshape(b, p, 6, cfg.primitive_k,
+                                            64),
+                                 gl.reshape(b, p, 12, cfg.primitive_k,
+                                            64)], axis=2)
+            cue_feat = g.max(axis=3)                 # (B, P, 18, 64)
+            cues_obj = nn.Dense(2, dtype=self.dtype,
+                                name='cue_obj')(cue_feat)
+            cues_sem = nn.Dense(cfg.num_classes, dtype=self.dtype,
+                                name='cue_sem')(cue_feat)
+            gate = jax.nn.sigmoid(
+                cues_obj[..., 1:2].astype(jnp.float32))
+            match = (cue_feat.astype(jnp.float32) * gate
+                     ).reshape(b, p, 18 * 64).astype(self.dtype)
+            out_extra = dict(
+                cues_obj=cues_obj.astype(jnp.float32),
+                cues_sem=cues_sem.astype(jnp.float32),
+                kp_xyz=jnp.concatenate([surf, line], axis=2))
+        else:
+            prim_xyz = jnp.concatenate([prims[m][1] for m in
+                                        ('z', 'xy', 'line')], axis=1)
+            prim_feat = jnp.concatenate([prims[m][2] for m in
+                                         ('z', 'xy', 'line')], axis=1)
+            kp = jnp.concatenate([surf, line], axis=2)  # (B, P, 18, 3)
+            nk = kp.shape[2]
+            kp_flat = kp.reshape(b, p * nk, 3)
+            g = batched_ball_group(prim_xyz, prim_feat, kp_flat,
+                                   cfg.primitive_radius,
+                                   cfg.primitive_k)
+            g = nn.relu(nn.Dense(64, dtype=self.dtype, name='match0')(
+                g.astype(self.dtype)))
+            match = g.max(axis=2).reshape(b, p, nk * 64)
         x = nn.relu(nn.Dense(128, dtype=self.dtype, name='ref0')(match))
         x = nn.relu(nn.Dense(128, dtype=self.dtype, name='ref1')(x))
         ref_raw = nn.Dense(
@@ -156,7 +219,7 @@ class H3DNet(nn.Module):
         refined = dict(initial)
         refined['raw'] = initial['raw'] + ref_raw.astype(jnp.float32)
         return dict(initial=initial, refined=refined, prims=prims,
-                    seed_xyz=seed_xyz)
+                    seed_xyz=seed_xyz, **out_extra)
 
 
 def h3dnet_loss(outputs, batch, cfg: H3DNetConfig):
@@ -199,6 +262,45 @@ def h3dnet_loss(outputs, batch, cfg: H3DNetConfig):
         losses[f'prim_{mode}_center'] = cfg.center_weight * loss_center
         total = total + losses[f'prim_{mode}_flag'] + \
             losses[f'prim_{mode}_center']
+
+    if 'cues_obj' in outputs:
+        # cues_objectness / cues_semantic (reference h3d_bbox_head.py
+        # :806-870): a proposal keypoint is a positive cue when it
+        # lies within near_threshold of a GT surface/line center, a
+        # negative beyond far_threshold; in-between is ignored.
+        kp = outputs['kp_xyz']                   # (B, P, 18, 3)
+        bsz, p, nk, _ = kp.shape
+        gt_kp = jnp.concatenate([surf, line], axis=2)  # (B, G, 18, 3)
+        gt_kp = gt_kp.reshape(bsz, -1, 3)
+        tm18 = jnp.repeat(gmask, 18, axis=-1)
+        kpf = kp.reshape(bsz, p * nk, 3)
+        d2 = jnp.sum((kpf[:, :, None] - gt_kp[:, None]) ** 2, -1)
+        d2 = jnp.where(tm18[:, None], d2, jnp.inf)
+        near = jnp.sqrt(jnp.min(d2, -1))
+        gi = jnp.argmin(d2, -1)
+        pos = near < cfg.near_threshold
+        neg = near > cfg.far_threshold
+        valid = (pos | neg) & gmask.any(-1, keepdims=True)
+        w = valid.astype(jnp.float32)
+        nval = jnp.maximum(w.sum(), 1.0)
+        obj = outputs['cues_obj'].reshape(bsz, p * nk, 2)
+        logp = jax.nn.log_softmax(obj, -1)
+        tgt_obj = pos.astype(jnp.float32)
+        loss_obj = -(w * (tgt_obj * logp[..., 1] +
+                          (1 - tgt_obj) * logp[..., 0])).sum() / nval
+        # semantic: class of the matched GT, positives only
+        gt_cls = jnp.repeat(batch['gt_labels'], 18, axis=-1)
+        cls_t = jnp.take_along_axis(gt_cls, gi, 1)
+        sem = outputs['cues_sem'].reshape(bsz, p * nk, -1)
+        logs = jax.nn.log_softmax(sem, -1)
+        wpos = (pos & gmask.any(-1, keepdims=True)).astype(jnp.float32)
+        nposk = jnp.maximum(wpos.sum(), 1.0)
+        loss_sem = -(wpos * jnp.take_along_axis(
+            logs, cls_t[..., None], -1)[..., 0]).sum() / nposk
+        losses['cues_objectness'] = cfg.cues_weight * loss_obj
+        losses['cues_semantic'] = cfg.cues_weight * loss_sem
+        total = total + losses['cues_objectness'] + \
+            losses['cues_semantic']
     return total, losses
 
 

@@ -46,6 +46,16 @@ class ImVoteNetConfig(VoteNetConfig):
     max_imvote_per_pixel: int = 3
     img_feat_dim: int = 128
     loss_weights: Tuple[float, float, float] = (0.4, 0.3, 0.3)
+    # In-graph 2D branch (reference imvotenet.py:56-554 joint
+    # structure: img backbone + head live INSIDE the detector; the
+    # stage-2 recipe freezes them — freeze_img_branch=True,
+    # imvotenet.py:129-131,171-215 — which stop_gradient reproduces).
+    # False keeps the decoupled static-box input path.
+    with_img_branch: bool = False
+    freeze_img_branch: bool = True
+    img_backbone_depth: int = 18
+    img_max_boxes: int = 16
+    img_loss_weight: float = 1.0
 
 
 def vote_fusion_cues(seeds, bboxes_2d, img, depth2img, num_classes,
@@ -158,6 +168,40 @@ class ImVoteNet(nn.Module):
         backbone = PointNet2SASSG(dtype=self.dtype, name='backbone')
         seed_xyz, seed_f = backbone(points.astype(self.dtype), train)
 
+        outs_2d = None
+        if cfg.with_img_branch:
+            # joint structure: the 2D detector runs in-graph on `img`
+            # and its decoded top-k boxes REPLACE the static
+            # `bboxes_2d` input (reference extract_bboxes_2d,
+            # imvotenet.py:310-360)
+            from ..backbones.liga_resnet import LIGAResNet
+            from ..heads.atss2d import (ATSS2DConfig, ATSS2DHead,
+                                        atss2d_decode)
+            from ..necks.fpn import FPN
+            feats = LIGAResNet(depth=cfg.img_backbone_depth,
+                               strides=(1, 2, 2, 2),
+                               dilations=(1, 1, 1, 1),
+                               num_channels_factor=(1, 2, 4, 8),
+                               out_indices=(1, 2, 3),
+                               with_max_pool=True, norm='bn',
+                               dtype=self.dtype,
+                               name='img_backbone')(
+                                   img.astype(self.dtype), train)
+            fpn = FPN(out_channels=64, num_outs=5, dtype=self.dtype,
+                      name='img_neck')(feats, train)
+            acfg = ATSS2DConfig(num_classes=cfg.num_classes,
+                                in_channels=64, feat_channels=64,
+                                stacked_convs=1,
+                                strides=(8, 16, 32, 64, 128))
+            outs_2d = ATSS2DHead(cfg=acfg, dtype=self.dtype,
+                                 name='img_bbox_head')(fpn, train)
+            dec = atss2d_decode(outs_2d, img.shape[1:3], acfg,
+                                cfg.img_max_boxes)
+            if cfg.freeze_img_branch:
+                dec = jax.lax.stop_gradient(dec)
+                outs_2d = None          # no 2D loss in stage-2 mode
+            bboxes_2d = dec
+
         cues, txt, mask = jax.vmap(
             lambda s, bb, im, d: vote_fusion_cues(
                 s, bb, im, d, cfg.num_classes,
@@ -180,6 +224,8 @@ class ImVoteNet(nn.Module):
             seed_xyz, seed_f)
         towers['img'] = _VoteTower(cfg, self.dtype, name='img')(
             seed_xyz, img_feat)
+        if outs_2d is not None:
+            towers['outs_2d'] = outs_2d
         return towers
 
 
@@ -193,6 +239,18 @@ def imvotenet_loss(outputs, batch, cfg: ImVoteNetConfig):
         total = total + w * t
         for k, v in parts.items():
             losses[f'{name}_{k}'] = v * w
+    if 'outs_2d' in outputs and 'gt_bboxes2d' in batch:
+        # stage-1 joint path: the trainable img branch also pays the
+        # ATSS 2D loss (reference forward_train img branch losses)
+        from ..heads.atss2d import ATSS2DConfig, atss2d_loss
+        acfg = ATSS2DConfig(num_classes=cfg.num_classes,
+                            strides=(8, 16, 32, 64, 128),
+                            stacked_convs=1, feat_channels=64)
+        l2d = atss2d_loss(outputs['outs_2d'], batch['img_hw'], batch,
+                          acfg)
+        for k, v in l2d.items():
+            losses[k] = v * cfg.img_loss_weight
+            total = total + losses[k]
     return total, losses
 
 

@@ -54,6 +54,14 @@ class PartA2Config(VoxelNetConfig):
     unet_base: int = 16
     num_proposals: int = 64
     roi_grid: int = 7                 # reference RoIAwarePool3d: 14
+    # 'voxel_center' = sample each canonical cell center at its
+    # containing voxel (fast approximation); 'points' = the reference's
+    # RoIAwarePool3d semantics — pool ALL level-0 voxels falling in
+    # each cell, seg features with max / part features with avg
+    # (part_aggregation_roi_head.py:200-230, _base_/models/parta2.py:
+    # 75-90, out_size=14 mode=max|avg). Enable reference structure
+    # with roi_pool='points', roi_grid=14.
+    roi_pool: str = 'voxel_center'
     cls_pos_thr: float = 0.75
     cls_neg_thr: float = 0.25
     reg_pos_thr: float = 0.55
@@ -186,8 +194,13 @@ class PartA2(nn.Module):
         rois = props['boxes3d']
         rmask = props['mask']
 
-        pooled = self._roi_pool(rois, keys, vmask, seg_feat, seg_logit,
-                                part_reg, grid)
+        if cfg.roi_pool == 'points':
+            pooled = self._roi_pool_points(
+                rois, vfeat[..., :3], vmask, seg_feat, seg_logit,
+                part_reg)
+        else:
+            pooled = self._roi_pool(rois, keys, vmask, seg_feat,
+                                    seg_logit, part_reg, grid)
         r = rois.shape[1]
         g = cfg.roi_grid
         x = pooled.reshape(b * r, g, g, g, -1).astype(self.dtype)
@@ -250,6 +263,53 @@ class PartA2(nn.Module):
                 return f                                # (G^3, C)
             return jax.vmap(per_roi)(rois_i)
         return jax.vmap(pool_one)(rois, keys, vmask, feat_all)
+
+    def _roi_pool_points(self, rois, vxyz, vmask, seg_feat, seg_logit,
+                         part_reg):
+        """Reference RoIAwarePool3d semantics: every level-0 voxel
+        center falling in a canonical G^3 cell is pooled — seg
+        features with MAX, part features (sigmoid part offsets + seg
+        score) with AVG — matching the reference's two extractors
+        (part_aggregation_roi_head.py:200-230; _base_/models/parta2.py
+        seg mode='max' / part mode='avg', out_size=14). Empty cells
+        are zero, as in the reference."""
+        cfg = self.cfg
+        g = cfg.roi_grid
+        seg_f = seg_feat.astype(jnp.float32)
+        part_f = jnp.concatenate(
+            [jax.nn.sigmoid(part_reg.astype(jnp.float32)),
+             jax.nn.sigmoid(seg_logit.astype(jnp.float32))[..., None]],
+            -1)
+
+        def pool_one(rois_i, xyz_i, m_i, segf_i, partf_i):
+            def per_roi(roi):
+                d = xyz_i - roi[:3]
+                c, s = jnp.cos(-roi[6]), jnp.sin(-roi[6])
+                lx = d[:, 0] * c - d[:, 1] * s
+                ly = d[:, 0] * s + d[:, 1] * c
+                lz = xyz_i[:, 2] - (roi[2] + roi[5] / 2)
+                dims = jnp.maximum(roi[3:6], 1e-4)
+                ix = jnp.floor((lx / dims[0] + 0.5) * g).astype(jnp.int32)
+                iy = jnp.floor((ly / dims[1] + 0.5) * g).astype(jnp.int32)
+                iz = jnp.floor((lz / dims[2] + 0.5) * g).astype(jnp.int32)
+                ok = (m_i & (ix >= 0) & (ix < g) & (iy >= 0) & (iy < g)
+                      & (iz >= 0) & (iz < g))
+                # flat (z, y, x) order — matches _roi_pool's meshgrid
+                cell = jnp.where(ok, (iz * g + iy) * g + ix, g ** 3)
+                n_cells = g ** 3 + 1                     # +1 drop slot
+                cnt = jax.ops.segment_sum(
+                    ok.astype(jnp.float32), cell, n_cells)
+                avg = jax.ops.segment_sum(
+                    partf_i * ok[:, None], cell, n_cells)
+                avg = avg / jnp.maximum(cnt[:, None], 1.0)
+                neg = jnp.full_like(segf_i, -1e30)
+                mx = jax.ops.segment_max(
+                    jnp.where(ok[:, None], segf_i, neg), cell, n_cells)
+                mx = jnp.where(cnt[:, None] > 0, mx, 0.0)
+                return jnp.concatenate(
+                    [mx[:g ** 3], avg[:g ** 3]], -1)     # (G^3, C)
+            return jax.vmap(per_roi)(rois_i)
+        return jax.vmap(pool_one)(rois, vxyz, vmask, seg_f, part_f)
 
 
 def parta2_loss(outputs, batch, cfg: PartA2Config, axis_name=None):

@@ -210,3 +210,49 @@ def atss2d_loss(level_outs, img_hw, batch, cfg: ATSS2DConfig,
                                       avg_factor=num_pos)
     return dict(loss_cls2d=loss_cls, loss_bbox2d=loss_bbox,
                 loss_centerness2d=loss_ctr)
+
+
+def atss2d_decode(level_outs, img_hw, cfg: ATSS2DConfig, max_boxes=16):
+    """Decode ATSS level outputs to (B, max_boxes, 6) static slots
+    `(l, t, r, b, conf, cls)` — the vote-fusion input format. Top-k
+    over sigmoid(cls) * sigmoid(centerness) (mmdet ATSSHead
+    .get_bboxes semantics without per-class NMS — the fusion consumer
+    max-pools cues per seed, so duplicates are harmless)."""
+    h, w = img_hw
+    sizes = [((h + s - 1) // s, (w + s - 1) // s) for s in cfg.strides]
+    anchors = jnp.asarray(np.concatenate([
+        level_anchors(sz, s, cfg.anchor_scale)
+        for sz, s in zip(sizes, cfg.strides)], 0))
+
+    def flat(key, per):
+        return jnp.concatenate([
+            o[key].astype(jnp.float32).reshape(o[key].shape[0], -1, per)
+            for o in level_outs], axis=1)
+
+    cls = jax.nn.sigmoid(flat('cls_score', cfg.num_classes))
+    ctr = jax.nn.sigmoid(flat('centerness', 1))
+    score = cls * ctr                                # (B, A, C)
+    conf = score.max(-1)
+    label = jnp.argmax(score, -1)
+
+    stds = jnp.asarray(cfg.target_stds)
+    d = flat('bbox_pred', 4) * stds[None, None]
+    wa = anchors[:, 2] - anchors[:, 0]
+    ha = anchors[:, 3] - anchors[:, 1]
+    xa = (anchors[:, 0] + anchors[:, 2]) / 2
+    ya = (anchors[:, 1] + anchors[:, 3]) / 2
+    xg = xa[None] + d[..., 0] * wa[None]
+    yg = ya[None] + d[..., 1] * ha[None]
+    wg = wa[None] * jnp.exp(jnp.clip(d[..., 2], -10, 10))
+    hg = ha[None] * jnp.exp(jnp.clip(d[..., 3], -10, 10))
+    boxes = jnp.stack([
+        jnp.clip(xg - wg / 2, 0, w - 1), jnp.clip(yg - hg / 2, 0, h - 1),
+        jnp.clip(xg + wg / 2, 0, w - 1), jnp.clip(yg + hg / 2, 0, h - 1)],
+        -1)
+
+    top_conf, idx = jax.lax.top_k(conf, max_boxes)
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], 1)
+    top_label = jnp.take_along_axis(label, idx, 1)
+    return jnp.concatenate(
+        [top_boxes, top_conf[..., None],
+         top_label[..., None].astype(jnp.float32)], -1)

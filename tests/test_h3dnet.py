@@ -86,5 +86,46 @@ def test_h3dnet_predict(tiny):
         assert np.isfinite(np.asarray(x, np.float32)).all()
 
 
+def test_h3dnet_cues_mode_forward_loss_grad():
+    """Reference-structure mode: separate surface/line matchers +
+    per-cue objectness/semantic sub-scores and losses
+    (h3d_bbox_head.py:118-560)."""
+    cfg = H3DNetConfig(num_classes=4,
+                       mean_sizes=tuple((0.8, 0.8, 0.9)
+                                        for _ in range(4)),
+                       num_proposals=16, num_backbones=2,
+                       with_cues=True, surface_radius=0.5,
+                       line_radius=0.4)
+    model = H3DNet(cfg=cfg)
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.rand(1, 256, 3) * 4, jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), pts, train=True)
+    outs, _ = model.apply(v, pts, train=True, mutable=['batch_stats'])
+    assert outs['cues_obj'].shape[2:] == (18, 2)
+    assert outs['cues_sem'].shape[2:] == (18, 4)
+    batch = dict(
+        gt_boxes=jnp.asarray([[[2.0, 2.0, 1.0, 0.8, 0.8, 0.9, 0.3],
+                               [3.0, 1.0, 1.0, 0.8, 0.8, 0.9, 0.0]]]),
+        gt_labels=jnp.asarray([[1, 3]]),
+        gt_mask=jnp.asarray([[True, True]]))
+
+    def loss_fn(params):
+        o, _ = model.apply({'params': params,
+                            'batch_stats': v['batch_stats']},
+                           pts, train=True, mutable=['batch_stats'])
+        return h3dnet_loss(o, batch, cfg)
+
+    (total, losses), g = jax.value_and_grad(
+        loss_fn, has_aux=True)(v['params'])
+    assert np.isfinite(float(total))
+    assert 'cues_objectness' in losses and 'cues_semantic' in losses
+    for k, val in losses.items():
+        assert np.isfinite(float(val)), k
+    # both matchers receive gradient
+    assert float(jnp.abs(g['match_surf']['kernel']).max()) > 0
+    assert float(jnp.abs(g['match_line']['kernel']).max()) > 0
+    assert float(jnp.abs(g['cue_obj']['kernel']).max()) > 0
+
+
 # compile-heavy: full tier only
 pytestmark = pytest.mark.slow

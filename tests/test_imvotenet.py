@@ -113,5 +113,71 @@ def test_imvotenet_predict(tiny):
         assert np.isfinite(np.asarray(x, np.float32)).all()
 
 
+def test_imvotenet_img_branch_modes():
+    """In-graph 2D branch (reference joint structure): frozen stage-2
+    mode passes no gradient into the img backbone; trainable stage-1
+    mode adds the ATSS 2D losses and does."""
+    import dataclasses as dc
+    rng = np.random.RandomState(2)
+    base = ImVoteNetConfig(
+        num_classes=4,
+        mean_sizes=tuple((0.8, 0.8, 0.9) for _ in range(4)),
+        num_proposals=16, with_img_branch=True,
+        img_backbone_depth=18, img_max_boxes=8)
+    pts = jnp.asarray(rng.rand(1, 256, 3) * 4, jnp.float32)
+    img = jnp.asarray(rng.randint(0, 255, (1, 64, 96, 3)), jnp.float32)
+    bb = jnp.zeros((1, 8, 6), jnp.float32)      # ignored in this mode
+    d2i = jnp.asarray(np.eye(4, dtype=np.float32))[None]
+    batch3d = dict(
+        gt_boxes=jnp.asarray([[[2.0, 2.0, 1.0, 0.8, 0.8, 0.9, 0.3]]]),
+        gt_labels=jnp.asarray([[1]]),
+        gt_mask=jnp.asarray([[True]]))
+
+    # frozen (stage-2, the shipped config)
+    m = ImVoteNet(cfg=base)
+    v = m.init(jax.random.PRNGKey(0), pts, img, bb, d2i, train=True)
+    outs, _ = m.apply(v, pts, img, bb, d2i, train=True,
+                      mutable=['batch_stats'])
+    assert 'outs_2d' not in outs
+
+    def loss_frozen(params):
+        o, _ = m.apply({'params': params,
+                        'batch_stats': v['batch_stats']},
+                       pts, img, bb, d2i, train=True,
+                       mutable=['batch_stats'])
+        return imvotenet_loss(o, batch3d, base)[0]
+
+    g = jax.grad(loss_frozen)(v['params'])
+    img_g = max(float(jnp.abs(x).max()) for x in
+                jax.tree_util.tree_leaves(g['img_backbone']))
+    assert img_g == 0.0                        # frozen branch
+    assert float(jnp.abs(g['img_mlp']['kernel']).max()) > 0
+
+    # trainable (stage-1 joint): 2D losses + img-branch gradients
+    cfg1 = dc.replace(base, freeze_img_branch=False)
+    m1 = ImVoteNet(cfg=cfg1)
+    outs1, _ = m1.apply(v, pts, img, bb, d2i, train=True,
+                        mutable=['batch_stats'])
+    assert 'outs_2d' in outs1
+    batch1 = dict(batch3d,
+                  gt_bboxes2d=jnp.asarray([[[10., 8., 40., 30.]]]),
+                  centers2d=jnp.asarray([[[25., 19.]]]),
+                  img_hw=(64, 96))
+    total, losses = imvotenet_loss(outs1, batch1, cfg1)
+    assert 'loss_cls2d' in losses and np.isfinite(float(total))
+
+    def loss_joint(params):
+        o, _ = m1.apply({'params': params,
+                         'batch_stats': v['batch_stats']},
+                        pts, img, bb, d2i, train=True,
+                        mutable=['batch_stats'])
+        return imvotenet_loss(o, batch1, cfg1)[0]
+
+    g1 = jax.grad(loss_joint)(v['params'])
+    img_g1 = max(float(jnp.abs(x).max()) for x in
+                 jax.tree_util.tree_leaves(g1['img_backbone']))
+    assert img_g1 > 0.0
+
+
 # compile-heavy: full tier only
 pytestmark = pytest.mark.slow

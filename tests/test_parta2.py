@@ -94,5 +94,80 @@ def test_parta2_predict(tiny):
         assert np.isfinite(np.asarray(x, np.float32)).all()
 
 
+def test_roi_pool_points_matches_numpy_roiaware(tiny):
+    """_roi_pool_points == brute-force RoIAwarePool3d (max seg / avg
+    part) on a handcrafted voxel set (reference
+    part_aggregation_roi_head.py:200-230 semantics)."""
+    cfg, model, v, args = tiny
+    import dataclasses as dc
+    g = 4
+    rng = np.random.RandomState(3)
+    n = 64
+    xyz = rng.rand(n, 3).astype(np.float32) * np.array([8, 8, 3]) - \
+        np.array([0, 4, 3])
+    vmask = np.ones(n, bool)
+    vmask[-8:] = False
+    segf = rng.randn(n, 5).astype(np.float32)
+    seglog = rng.randn(n).astype(np.float32)
+    partr = rng.randn(n, 3).astype(np.float32)
+    roi = np.array([[4.0, 0.0, -2.0, 5.0, 4.0, 2.0, 0.4]], np.float32)
+
+    m = PartA2(cfg=dc.replace(cfg, roi_pool='points', roi_grid=g))
+    pooled = m._roi_pool_points(
+        jnp.asarray(roi)[None], jnp.asarray(xyz)[None],
+        jnp.asarray(vmask)[None], jnp.asarray(segf)[None],
+        jnp.asarray(seglog)[None], jnp.asarray(partr)[None])
+    pooled = np.asarray(pooled)[0, 0]               # (G^3, 5+4)
+
+    # numpy oracle
+    part_np = np.concatenate(
+        [1 / (1 + np.exp(-partr)), 1 / (1 + np.exp(-seglog))[:, None]],
+        -1)
+    c, s = np.cos(-roi[0, 6]), np.sin(-roi[0, 6])
+    d = xyz - roi[0, :3]
+    lx = d[:, 0] * c - d[:, 1] * s
+    ly = d[:, 0] * s + d[:, 1] * c
+    lz = xyz[:, 2] - (roi[0, 2] + roi[0, 5] / 2)
+    ids = np.stack([
+        np.floor((lz / roi[0, 5] + 0.5) * g),
+        np.floor((ly / roi[0, 4] + 0.5) * g),
+        np.floor((lx / roi[0, 3] + 0.5) * g)], 1).astype(int)
+    ok = vmask & (ids >= 0).all(1) & (ids < g).all(1)
+    want = np.zeros((g ** 3, 9), np.float32)
+    for cell in range(g ** 3):
+        sel = ok & (ids[:, 0] * g * g + ids[:, 1] * g + ids[:, 2]
+                    == cell)
+        if sel.any():
+            want[cell, :5] = segf[sel].max(0)
+            want[cell, 5:] = part_np[sel].mean(0)
+    np.testing.assert_allclose(pooled, want, atol=1e-5)
+    assert ok.sum() > 5                    # the roi actually has hits
+
+
+def test_roi_pool_voxel_center_vs_points_delta(tiny):
+    """A/B: quantify the nearest-voxel-center approximation against
+    the reference points pooling at the same grid — the measured
+    fidelity gap the docstring claims is 'tight'."""
+    cfg, model, v, args = tiny
+    import dataclasses as dc
+    outs, _ = model.apply(v, *args, train=True, mutable=['batch_stats'])
+    m_pts = PartA2(cfg=dc.replace(cfg, roi_pool='points'))
+    outs2, _ = m_pts.apply(v, *args, train=True,
+                           mutable=['batch_stats'])
+    # same params, same proposals; only the pooled features differ
+    np.testing.assert_allclose(np.asarray(outs['proposals']),
+                               np.asarray(outs2['proposals']),
+                               atol=1e-5)
+    a = np.asarray(outs['rcnn_cls'], np.float32)
+    b_ = np.asarray(outs2['rcnn_cls'], np.float32)
+    delta = np.abs(a - b_).mean()
+    scale = np.abs(a).mean() + 1e-6
+    print(f'[A/B] rcnn_cls |delta| {delta:.4f} vs scale {scale:.4f} '
+          f'(ratio {delta / scale:.2f})')
+    assert np.isfinite(delta)
+    # both modes produce usable refinement logits
+    assert np.isfinite(b_).all()
+
+
 # compile-heavy: full tier only
 pytestmark = pytest.mark.slow

@@ -322,3 +322,16 @@ def test_export_scene_html(tmp_path):
     # 3 boxes x 12 edges x 2 endpoints x 3 coords
     assert len(data['lines']) == 3 * 12 * 2 * 3
     assert len(data['lineCol']) == len(data['lines'])
+
+
+def test_backbone_registry_builds_all_types():
+    """Every backbone is constructible by type name (reference
+    BACKBONES registry, models/builder.py:16)."""
+    from dfm_tpu.models.builder import backbone_types, build_backbone
+    names = backbone_types()
+    assert {'MinkResNet', 'DGCNNBackbone', 'NoStemRegNet',
+            'MultiBackbone', 'PointNet2SAMSG'} <= set(names)
+    for name in names:
+        kw = {'MinkResNet': dict(depth=14)}.get(name, {})
+        m = build_backbone(dict(type=name, **kw))
+        assert type(m).__name__ == name

@@ -250,6 +250,53 @@ class KittiLidarSource:
                 for k in samples[0]}
 
 
+class LyftSource:
+    """Lyft LiDAR -> VoxelNet-family batches, with 10-sweep point
+    accumulation (data.sweeps_num) and CBGS class-balanced resampling
+    (data.cbgs; reference dataset_wrappers.py CBGSDataset — the
+    hv_ssn lyft recipe trains through it)."""
+
+    def __init__(self, cfg, batch_size, train=True):
+        from dfm_tpu.data.lyft import LyftDataset
+        d = cfg.data
+        split = 'train' if train else 'val'
+        ds = LyftDataset(
+            d.data_root,
+            os.path.join(d.data_root, f'lyft_infos_{split}.pkl'),
+            train=train, max_points=d.get('max_points', 32768),
+            max_gt=d.get('max_gt', 64),
+            sweeps_num=d.get('sweeps_num', 0))
+        if train and d.get('cbgs'):
+            from dfm_tpu.data.wrappers import CBGSDataset
+            ds = CBGSDataset(ds)
+            print(f'[data] CBGS resample: {len(ds.dataset)} -> '
+                  f'{len(ds)} frames')
+        self.ds = ds
+        self.batch_size = batch_size
+        self.order = None
+        self.cursor = 0
+
+    def __len__(self):
+        return len(self.ds)
+
+    @property
+    def steps_per_epoch(self):
+        return max(len(self.ds) // self.batch_size, 1)
+
+    def next_batch(self, step, rng):
+        import jax.numpy as jnp
+        idxs = []
+        while len(idxs) < self.batch_size:
+            if self.order is None or self.cursor >= len(self.order):
+                self.order = rng.permutation(len(self.ds))
+                self.cursor = 0
+            idxs.append(int(self.order[self.cursor]))
+            self.cursor += 1
+        samples = [self.ds.get_sample(i) for i in idxs]
+        return {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in samples[0]}
+
+
 class IndoorSource:
     """SUN RGB-D / ScanNet -> VoteNet-family batches."""
 
@@ -341,6 +388,8 @@ def make_data_source(cfg, handle, adapter, batch_size, args):
         return SyntheticSource(handle, adapter, batch_size, args.seed)
     if handle.type in ('DfM', 'DfMFull'):
         return KittiDfMSource(cfg, batch_size, train=True)
+    if dtype_name == 'LyftDataset':
+        return LyftSource(cfg, batch_size, train=True)
     if dtype_name in _INDOOR_INFO:
         return IndoorSource(cfg, batch_size, train=True)
     if handle.type in ('VoxelNet', 'DynamicVoxelNet', 'CenterPoint',
