@@ -30,9 +30,13 @@ class LyftDataset:
 
     def __init__(self, data_root, info_path, train=True,
                  max_points=32768, max_gt=64, seed=0,
-                 point_features=3, sweeps_num=0):
+                 point_features=None, sweeps_num=0):
         self.data_root = data_root
         self.sweeps_num = sweeps_num
+        if point_features is None:
+            # with sweep accumulation the reference pipeline keeps the
+            # time-lag channel (use_dim=[0,1,2,4]); single-sweep uses xyz
+            point_features = 4 if sweeps_num else 3
         with open(info_path, 'rb') as f:
             data = pickle.load(f)
         self.infos = data['infos'] if isinstance(data, dict) else data

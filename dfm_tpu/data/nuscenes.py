@@ -78,7 +78,7 @@ class NuScenesMonoDataset:
                 scores=np.asarray(det['scores'])[m],
                 labels=np.asarray(det['labels'])[m],
                 attrs=np.asarray(det['attrs'])[m]
-                if 'attrs' in det else None))
+                if det.get('attrs') is not None else None))
             labels = np.asarray(
                 [self.classes.index(n) if n in self.classes else -1
                  for n in info['gt_names']], np.int64)

@@ -50,8 +50,15 @@ class LIGAAnchor3DHead(nn.Module):
             reg_feats = ConvNorm(self.feat_channels, (3, 3), norm=self.norm,
                                  dtype=self.dtype,
                                  name=f'reg_conv{i}')(reg_feats, train)
-        cls_score = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
-                            dtype=self.dtype, name='conv_cls')(cls_feats)
+        # focal-prior init (reference anchor3d_head.py:116-121:
+        # Normal std=0.01 bias_prob=0.01): background starts at p=0.01
+        # so the untrained cls loss is small instead of ~#anchors/4.
+        cls_score = nn.Conv(
+            self.num_anchors * self.num_classes, (3, 3),
+            dtype=self.dtype, name='conv_cls',
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.constant(
+                float(-np.log((1 - 0.01) / 0.01))))(cls_feats)
         bbox_pred = nn.Conv(self.num_anchors * self.box_code_size, (3, 3),
                             dtype=self.dtype, name='conv_reg')(reg_feats)
         dir_pred = None
@@ -144,11 +151,16 @@ def anchor3d_head_loss(preds,
 
     targets, pos, neg = jax.vmap(sample_targets)(gt_boxes, gt_labels, gt_mask)
 
-    # Loss normalizers. The reference divides per-rank losses by
-    # dist_reduce_mean(local pos+neg) and DDP-averages gradients; under a
-    # single global-batch jit the equivalent is normalizing the global
-    # loss sum by the global count (pmean only needed under shard_map).
-    num_total = (pos + neg).sum()
+    # Loss normalizers. The 3D head's cls loss is FocalLoss, so the
+    # reference AnchorHead sets sampling=False and num_total_samples =
+    # num_total_POS only (mmdet anchor3d_head.py:100,380; NOT pos+neg —
+    # that variant is for sampled CE heads). LIGA then uses
+    # avg_factor + clamp for cls and clamp(avg_factor, min=clamp) for
+    # reg/dir/iou (liga_anchor3d_head.py:142-223). dist_reduce_mean of
+    # the per-rank count becomes a pmean under shard_map and is the
+    # global positive count under a single global-batch jit.
+    del neg  # focal-loss heads never normalize by the negatives
+    num_total = pos.sum()
     if axis_name is not None:
         num_total = jax.lax.pmean(num_total, axis_name)
     avg_cls = num_total + normalizer_clamp_value

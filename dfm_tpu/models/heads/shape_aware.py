@@ -62,8 +62,13 @@ class BaseShapeHead(nn.Module):
             t = t.reshape(b, h, w, na, per).transpose(0, 3, 1, 2, 4)
             return t.reshape(b, na * h * w, per)
 
+        # focal-prior cls init (reference shape_aware_head.py init_cfg:
+        # Normal std=0.01, bias_prob=0.01)
         cls = flat(nn.Conv(na * self.num_cls, (1, 1), dtype=self.dtype,
-                           name='conv_cls')(x), self.num_cls)
+                           name='conv_cls',
+                           kernel_init=nn.initializers.normal(0.01),
+                           bias_init=nn.initializers.constant(
+                               -4.59511985013459))(x), self.num_cls)
         reg = flat(nn.Conv(na * self.box_code_size, (1, 1),
                            dtype=self.dtype, name='conv_reg')(x),
                    self.box_code_size)
@@ -149,7 +154,11 @@ def shape_aware_loss(preds,
 
     targets, pos, neg = jax.vmap(sample_targets)(gt_boxes, gt_labels,
                                                  gt_mask)
-    num_total = (pos + neg).sum()
+    # FocalLoss head -> sampling=False -> num_total_samples is the
+    # POSITIVE count only (mmdet shape_aware_head.py:359 via
+    # anchor_head sampling rule); negatives never enter the normalizer.
+    del neg
+    num_total = pos.sum()
     if axis_name is not None:
         num_total = jax.lax.pmean(num_total, axis_name)
     avg = jnp.maximum(num_total, 1.0)

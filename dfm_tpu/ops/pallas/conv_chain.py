@@ -787,7 +787,10 @@ def conv_s2_p2d(pv: PackedVol, kernel, th2=8, interpret=False):
     reference dfm_backbone.py hourglass conv1). D, H even; H2 % th2 == 0.
     """
     d2, h2, w2 = pv.d // 2, pv.h // 2, pv.w // 2
-    assert pv.d % 2 == 0 and pv.h % 2 == 0 and h2 % th2 == 0
+    # d2 must be even too: with odd d2 the last grid block recomputes a
+    # clamped z2 slice whose sums would pollute the ps partial moments
+    # even though the wrapper trims out[:d2].
+    assert pv.d % 4 == 0 and pv.h % 2 == 0 and h2 % th2 == 0
     wa, wb = pack_weights_s2(kernel, pv.phase)
     off_a = -1 if pv.phase == 0 else 0
     out, ps = _conv_s2_call(pv.data, wa, wb, th2, d2, h2, w2, pv.th,

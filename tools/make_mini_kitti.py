@@ -30,10 +30,17 @@ def build(dst, ref_root=DEFAULT_REF):
         raise SystemExit(f'{src_pkl} not found')
     infos = infos_from_reference_pkl(src_pkl)
     os.makedirs(dst, exist_ok=True)
-    for split in ('train', 'val'):
+    # The official KITTI R40 metric samples precision at 41 recall grid
+    # points and AP = sum(precision[1:41])/40 (reference
+    # kitti_utils/eval.py get_mAP40 + get_thresholds): a val set with a
+    # single GT instance can only ever populate precision[0], so AP is
+    # 0 BY CONSTRUCTION even for a perfect detector. Replicate the
+    # frame 41x in the val infos so each matched GT contributes one
+    # recall grid point and a perfect overfit saturates at AP ~= 100.
+    for split, reps in (('train', 1), ('val', 41)):
         with open(os.path.join(dst, f'kitti_infos_{split}.pkl'),
                   'wb') as f:
-            pickle.dump(infos, f)
+            pickle.dump(infos * reps, f)
     link = os.path.join(dst, 'training')
     if not os.path.exists(link):
         os.symlink(os.path.join(ref_root, 'training'), link)

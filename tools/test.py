@@ -307,13 +307,18 @@ def nuscenes_real_eval(args, cfg, handle, adapter):
         det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
         m = np.asarray(det0.get('mask', det0['scores'] > 0)).astype(bool)
         boxes = np.asarray(det0.get('boxes3d', det0.get('boxes')))[m]
-        if boxes.shape[-1] == 7:          # pad velocities for the metric
-            boxes = np.concatenate(
-                [boxes, np.zeros((len(boxes), 2), boxes.dtype)], -1)
+        if boxes.shape[-1] == 7:
+            # models that predict velocities return them in a separate
+            # key; use them for the NDS velocity TP error, else zeros
+            if det0.get('velocity') is not None:
+                velo = np.asarray(det0['velocity'])[m][:, :2]
+            else:
+                velo = np.zeros((len(boxes), 2), boxes.dtype)
+            boxes = np.concatenate([boxes, velo.astype(boxes.dtype)], -1)
         results.append(dict(boxes=boxes, scores=det0['scores'][m],
                             labels=det0['labels'][m],
                             attrs=det0['attrs'][m]
-                            if 'attrs' in det0 else None))
+                            if det0.get('attrs') is not None else None))
         print(f'[{i + 1}/{n}] dets={int(m.sum())}', flush=True)
     ds.infos = ds.infos[:len(results)]
     res = ds.evaluate(results)
