@@ -13,7 +13,52 @@ import numpy as np
 
 from ..core.box_np_ops import boxes3d_to_corners2d_image
 
-__all__ = ['KittiMonoDataset', 'coco_map_2d']
+__all__ = ['KittiMonoDataset', 'coco_map_2d', 'mono_info_from_native',
+           'load_mono_image']
+
+
+def mono_info_from_native(info, data_root, img_hw=None):
+    """Native KITTI info (data.kitti schema: image/calib/annos_eval) ->
+    the per-image mono info this dataset wraps, with intrinsics and 2D
+    boxes rescaled for an `img_hw` resize of the original image.
+
+    The 3D annotations (location/dimensions/rotation_y, camera frame)
+    are resize-invariant; only P2 and pixel-space boxes scale.
+    """
+    import os
+    path = os.path.join(data_root, info['image']['image_path'])
+    a = info.get('annos_eval') or info['annos']
+    p2 = np.asarray(info['calib']['P2'], np.float32)[:3].copy()
+    bbox = np.asarray(a['bbox'], np.float32).reshape(-1, 4).copy()
+    if img_hw is not None:
+        shape = info.get('image', {}).get('image_shape')
+        if shape is None:
+            import cv2
+            shape = cv2.imread(path).shape
+        h0, w0 = shape[:2]
+        sy, sx = img_hw[0] / h0, img_hw[1] / w0
+        p2[0] *= sx
+        p2[1] *= sy
+        bbox *= np.array([sx, sy, sx, sy], np.float32)
+    return dict(
+        image_path=path,
+        calib={'P2': p2},
+        annos=dict(name=np.asarray(a['name']),
+                   bbox=bbox,
+                   location=np.asarray(a['location'], np.float32),
+                   dimensions=np.asarray(a['dimensions'], np.float32),
+                   rotation_y=np.asarray(a['rotation_y'], np.float32)))
+
+
+def load_mono_image(path, img_hw=None):
+    """Load + optionally resize + normalize one image -> (H, W, 3) f32."""
+    import cv2
+    from .pipeline import normalize_image
+    img = cv2.imread(path).astype(np.float32)
+    if img_hw is not None and img.shape[:2] != tuple(img_hw):
+        img = cv2.resize(img, (img_hw[1], img_hw[0]),
+                         interpolation=cv2.INTER_LINEAR)
+    return normalize_image(img)
 
 
 class KittiMonoDataset:

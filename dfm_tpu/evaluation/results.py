@@ -11,7 +11,8 @@ import numpy as np
 
 from ..data.kitti import CLASS_NAMES
 
-__all__ = ['detections_to_kitti_annos', 'pseudo_lidar_boxes_to_cam']
+__all__ = ['detections_to_kitti_annos', 'cam_detections_to_kitti_annos',
+           'pseudo_lidar_boxes_to_cam']
 
 
 def pseudo_lidar_boxes_to_cam(boxes_pl):
@@ -62,14 +63,44 @@ def detections_to_kitti_annos(det, calib_p2, image_shape,
     boxes = np.asarray(det['boxes3d'])[mask]
     scores = np.asarray(det['scores'])[mask]
     labels = np.asarray(det['labels'])[mask]
-    p2 = np.asarray(calib_p2, np.float64)[:3, :4]
     if len(boxes) == 0:
-        return dict(name=np.array([]), truncated=np.array([]),
-                    occluded=np.array([]), alpha=np.array([]),
-                    bbox=np.zeros((0, 4)), dimensions=np.zeros((0, 3)),
-                    location=np.zeros((0, 3)), rotation_y=np.array([]),
-                    score=np.array([]))
+        return _empty_annos()
     loc, dims, ry = pseudo_lidar_boxes_to_cam(boxes)
+    return _cam_to_annos(loc, dims, ry, scores, labels, calib_p2,
+                         image_shape, class_names)
+
+
+def cam_detections_to_kitti_annos(det, calib_p2, image_shape,
+                                  class_names=CLASS_NAMES):
+    """Same as detections_to_kitti_annos but for CAMERA-frame boxes7
+    (loc bottom-center, dims (l, h, w), ry) — the mono-family
+    (FCOS3D/PGD/SMOKE) decode output (reference
+    mmdet3d/datasets/kitti_mono_dataset.py bbox2result_kitti2d+3d)."""
+    mask = np.asarray(det['mask']).astype(bool)
+    boxes = np.asarray(det['boxes3d'])[mask]
+    scores = np.asarray(det['scores'])[mask]
+    labels = np.asarray(det['labels'])[mask]
+    if len(boxes) == 0:
+        return _empty_annos()
+    return _cam_to_annos(boxes[:, :3], boxes[:, 3:6], boxes[:, 6],
+                         scores, labels, calib_p2, image_shape,
+                         class_names)
+
+
+def _empty_annos():
+    return dict(name=np.array([]), truncated=np.array([]),
+                occluded=np.array([]), alpha=np.array([]),
+                bbox=np.zeros((0, 4)), dimensions=np.zeros((0, 3)),
+                location=np.zeros((0, 3)), rotation_y=np.array([]),
+                score=np.array([]))
+
+
+def _cam_to_annos(loc, dims, ry, scores, labels, calib_p2, image_shape,
+                  class_names):
+    p2 = np.asarray(calib_p2, np.float64)[:3, :4]
+    loc = np.asarray(loc, np.float64)
+    dims = np.asarray(dims, np.float64)
+    ry = np.asarray(ry, np.float64)
     corners = _corners_cam(loc, dims, ry)                 # (M, 8, 3)
     homo = np.concatenate([corners, np.ones_like(corners[..., :1])], -1)
     uvw = homo @ p2.T

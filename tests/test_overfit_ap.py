@@ -33,7 +33,11 @@ def _run(cmd, timeout):
 
 
 @pytest.mark.slow
-def test_mini_overfit_train_then_ap(tmp_path):
+@pytest.mark.parametrize('config', [
+    'configs/dfm_r18_mini_overfit.py',       # anchor head, pseudo-lidar
+    'configs/fcos3d_r18_mini_overfit.py',    # anchor-free, camera frame
+])
+def test_mini_overfit_train_then_ap(tmp_path, config):
     if not os.path.isdir(os.path.join(DATA_ROOT, 'training')):
         r = _run([sys.executable, 'tools/make_mini_kitti.py', DATA_ROOT],
                  timeout=120)
@@ -41,13 +45,11 @@ def test_mini_overfit_train_then_ap(tmp_path):
             pytest.skip(f'mini-KITTI fixture unavailable: {r.stderr[-300:]}')
 
     work = str(tmp_path / 'overfit')
-    r = _run([sys.executable, 'tools/train.py',
-              'configs/dfm_r18_mini_overfit.py',
+    r = _run([sys.executable, 'tools/train.py', config,
               '--work-dir', work, '--max-steps', '300'], timeout=3600)
     assert r.returncode == 0, r.stderr[-2000:]
 
-    r = _run([sys.executable, 'tools/test.py',
-              'configs/dfm_r18_mini_overfit.py',
+    r = _run([sys.executable, 'tools/test.py', config,
               '--checkpoint', os.path.join(work, 'ckpts'),
               '--eval', 'kitti'], timeout=3600)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -90,6 +90,76 @@ def synthetic_eval(args, handle, adapter):
         raise SystemExit(f'non-finite detections for {handle.type}')
 
 
+def kitti_mono_eval(args, cfg, handle, adapter):
+    """Restore -> mono inference -> KITTI AP for the FCOS3D/PGD family.
+
+    Boxes come out of the anchor-free decode in the CAMERA frame
+    (fcos3d_get_bboxes), so the anno conversion is
+    cam_detections_to_kitti_annos; the 2D bbox for the metric is
+    projected with the ORIGINAL-image P2 (the model sees a resized
+    image with scaled intrinsics; the 3D boxes are resize-invariant).
+    """
+    import pickle
+    import jax
+    import jax.numpy as jnp
+    from dfm_tpu.data.kitti_mono import (KittiMonoDataset,
+                                         load_mono_image,
+                                         mono_info_from_native)
+    from dfm_tpu.evaluation import (cam_detections_to_kitti_annos,
+                                    kitti_eval)
+
+    d = cfg.data
+    img_hw = tuple(d.get('img_hw', (384, 1280)))
+    with open(os.path.join(d.data_root, 'kitti_infos_val.pkl'),
+              'rb') as f:
+        infos = pickle.load(f)
+    infos = infos['infos'] if isinstance(infos, dict) else infos
+    ds = KittiMonoDataset(
+        [mono_info_from_native(i, d.data_root, img_hw) for i in infos],
+        max_gt=d.get('max_gt', 32))
+
+    s0 = ds.get_sample(0)
+    img0 = jnp.asarray(load_mono_image(s0['img_path'], img_hw)[None])
+    variables = handle.module.init(jax.random.PRNGKey(0), img0,
+                                   train=False)
+    variables = restore_variables(args, variables)
+
+    @jax.jit
+    def infer(variables, img, cam2img):
+        out = handle.module.apply(variables, img, train=False)
+        return adapter.predict(handle, out,
+                               dict(img=img, cam2img=cam2img))
+
+    n = min(len(ds), args.max_samples or len(ds))
+    gt_annos, dt_annos = [], []
+    img_cache = {}
+    for i in range(n):
+        info = infos[i]
+        s = ds.get_sample(i)
+        if s['img_path'] not in img_cache:
+            img_cache.clear()
+            img_cache[s['img_path']] = jnp.asarray(
+                load_mono_image(s['img_path'], img_hw)[None])
+        det = infer(variables, img_cache[s['img_path']],
+                    jnp.asarray(s['cam2img'])[None])
+        det0 = jax.tree.map(lambda x: np.asarray(x[0]), det)
+        dt_annos.append(cam_detections_to_kitti_annos(
+            det0, np.asarray(info['calib']['P2'])[:3],
+            info.get('image', {}).get('image_shape', (375, 1242))))
+        a = info.get('annos_eval') or info['annos']
+        gt_annos.append(dict(a))
+        print(f'[{i + 1}/{n}] dets={len(dt_annos[-1]["name"])}',
+              flush=True)
+
+    if args.out:
+        with open(args.out, 'wb') as f:
+            pickle.dump(dt_annos, f)
+    res = kitti_eval(gt_annos, dt_annos)
+    for k in sorted(res):
+        print(f'{k}: {res[k]:.4f}')
+    return res
+
+
 def kitti_dfm_eval(args, cfg, handle):
     """Restore -> infer -> KITTI AP for the DfM family on real data."""
     import jax
@@ -465,6 +535,10 @@ def main():
 
     if handle.type in ('DfM', 'DfMFull'):
         kitti_dfm_eval(args, cfg, handle)
+        return
+    if dtype_name == 'KittiMono' and handle.type in (
+            'FCOSMono3D', 'PGD', 'SMOKEMono3D'):
+        kitti_mono_eval(args, cfg, handle, adapter)
         return
     if dtype_name in ('SUNRGBDDataset', 'ScanNetDataset'):
         indoor_real_eval(args, cfg, handle, adapter)

@@ -99,6 +99,63 @@ class SyntheticSource:
             self.handle, self.batch_size, self.seed + step)
 
 
+class KittiMonoSource:
+    """Real KITTI images -> mono-family (FCOS3D/PGD/SMOKE) batches.
+
+    Native infos (data.kitti schema) are adapted per image via
+    dfm_tpu.data.kitti_mono.mono_info_from_native (intrinsics + 2D
+    boxes rescaled for the configured img_hw resize); the pixels are
+    loaded/normalized with load_mono_image.
+    """
+
+    def __init__(self, cfg, batch_size, train=True):
+        import pickle
+        from dfm_tpu.data.kitti_mono import (KittiMonoDataset,
+                                             load_mono_image,
+                                             mono_info_from_native)
+        d = cfg.data
+        split = 'train' if train else 'val'
+        with open(os.path.join(d.data_root,
+                               f'kitti_infos_{split}.pkl'), 'rb') as f:
+            infos = pickle.load(f)
+        infos = infos['infos'] if isinstance(infos, dict) else infos
+        self.img_hw = tuple(d.get('img_hw', (384, 1280)))
+        self.ds = KittiMonoDataset(
+            [mono_info_from_native(i, d.data_root, self.img_hw)
+             for i in infos],
+            max_gt=d.get('max_gt', 32))
+        self._load = load_mono_image
+        self.batch_size = batch_size
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.ds)
+
+    @property
+    def steps_per_epoch(self):
+        return max(len(self.ds) // self.batch_size, 1)
+
+    def next_batch(self, step, rng):
+        import jax.numpy as jnp
+        idxs = [int(i) for i in
+                rng.integers(0, len(self.ds), self.batch_size)] \
+            if len(self.ds) > self.batch_size else \
+            [(step * self.batch_size + k) % len(self.ds)
+             for k in range(self.batch_size)]
+        samples = []
+        for i in idxs:
+            s = dict(self.ds.get_sample(i))
+            path = s.pop('img_path')
+            if path not in self._cache:
+                if len(self._cache) > 64:
+                    self._cache.clear()
+                self._cache[path] = self._load(path, self.img_hw)
+            s['img'] = self._cache[path]
+            samples.append(s)
+        return {k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in samples[0]}
+
+
 class KittiDfMSource:
     """Real KITTI video pipeline -> DfM/DfMFull batches."""
 
@@ -388,6 +445,10 @@ def make_data_source(cfg, handle, adapter, batch_size, args):
         return SyntheticSource(handle, adapter, batch_size, args.seed)
     if handle.type in ('DfM', 'DfMFull'):
         return KittiDfMSource(cfg, batch_size, train=True)
+    if dtype_name == 'KittiMono' and handle.type in (
+            'FCOSMono3D', 'PGD', 'SMOKEMono3D'):
+        # (MonoFlex additionally needs kpts2d/gt_alphas — synthetic only)
+        return KittiMonoSource(cfg, batch_size, train=True)
     if dtype_name == 'LyftDataset':
         return LyftSource(cfg, batch_size, train=True)
     if dtype_name in _INDOOR_INFO:
