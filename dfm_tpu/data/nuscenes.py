@@ -20,8 +20,8 @@ import pickle
 
 import numpy as np
 
-__all__ = ['NUS_CLASSES', 'NUS_ATTRS', 'NuScenesMonoDataset',
-           'nuscenes_detection_metrics']
+__all__ = ['NUS_CLASSES', 'NUS_ATTRS', 'NuScenesDataset',
+           'NuScenesMonoDataset', 'nuscenes_detection_metrics']
 
 NUS_CLASSES = ('car', 'truck', 'trailer', 'bus', 'construction_vehicle',
                'bicycle', 'motorcycle', 'pedestrian', 'traffic_cone',
@@ -115,6 +115,128 @@ class NuScenesMonoDataset:
                                                 np.float32),
                     gt_boxes=out_boxes, gt_labels=out_labels,
                     gt_attrs=out_attrs, gt_mask=mask, info=info)
+
+
+class NuScenesDataset:
+    """LiDAR-side nuScenes dataset over `create_nuscenes_infos` pkls
+    (reference mmdet3d/datasets/nuscenes_dataset.py): nuScenes-style
+    info layout (lidar_path / sweeps / cams / gt_boxes (N, 7)
+    gravity-center lidar frame / gt_names / gt_velocity (N, 2) /
+    valid_flag), multi-sweep point accumulation, CBGS hook, and the
+    hermetic NDS evaluation above. Static-shape samples (fixed point
+    count + padded GTs) like `LyftDataset`."""
+
+    CLASSES = NUS_CLASSES
+
+    def __init__(self, data_root, info_path, train=True,
+                 max_points=32768, max_gt=64, seed=0,
+                 point_features=None, sweeps_num=0,
+                 use_valid_flag=True):
+        self.data_root = data_root
+        self.sweeps_num = sweeps_num
+        if point_features is None:
+            # the reference pipeline keeps xyz + intensity + time-lag
+            # (use_dim=[0,1,2,3,4] with sweeps; [0,1,2,3] single)
+            point_features = 5 if sweeps_num else 4
+        with open(info_path, 'rb') as f:
+            data = pickle.load(f)
+        self.infos = data['infos'] if isinstance(data, dict) else data
+        self.metadata = data.get('metadata', {}) \
+            if isinstance(data, dict) else {}
+        self.train = train
+        self.max_points = max_points
+        self.max_gt = max_gt
+        self.point_features = point_features
+        self.use_valid_flag = use_valid_flag
+        self.rng = np.random.RandomState(seed)
+        self.cat2label = {c: i for i, c in enumerate(self.CLASSES)}
+
+    def __len__(self):
+        return len(self.infos)
+
+    def _load_points(self, info):
+        # nuScenes lidar bins are (x, y, z, intensity, ring) f32
+        raw = info['lidar_path']
+        candidates = [raw, os.path.join(self.data_root, raw)]
+        if 'nuscenes/' in raw:  # fixture paths relative to another repo
+            candidates.append(os.path.join(
+                self.data_root, raw.split('nuscenes/')[-1]))
+        path = next((c for c in candidates if os.path.exists(c)),
+                    candidates[-1])
+        pts = np.fromfile(path, np.float32).reshape(-1, 5)
+        if self.sweeps_num and info.get('sweeps'):
+            from .wrappers import multisweep_points
+            pts = multisweep_points(
+                pts, info, self.data_root, sweeps_num=self.sweeps_num,
+                load_dim=5, use_dim=(0, 1, 2, 3, 4), rng=self.rng,
+                test_mode=not self.train)
+        return pts[:, :self.point_features]
+
+    def _annotations(self, info):
+        boxes = np.asarray(info.get('gt_boxes',
+                                    np.zeros((0, 7))), np.float32)
+        names = [str(n) for n in info.get('gt_names', [])]
+        labels = np.asarray([self.cat2label.get(n, -1) for n in names],
+                            np.int64)
+        velo = np.asarray(info.get('gt_velocity',
+                                   np.zeros((len(names), 2))),
+                          np.float32)
+        velo = np.nan_to_num(velo)
+        keep = labels >= 0
+        if self.use_valid_flag and 'valid_flag' in info:
+            keep &= np.asarray(info['valid_flag'], bool)
+        return boxes[keep], labels[keep], velo[keep]
+
+    def get_cat_ids(self, index):
+        """Category ids present in frame `index` (CBGSDataset hook;
+        reference nuscenes_dataset.py:154)."""
+        _, labels, _ = self._annotations(self.infos[index])
+        return set(int(c) for c in labels)
+
+    def get_sample(self, index):
+        info = self.infos[index]
+        pts = self._load_points(info)
+        boxes, labels, velo = self._annotations(info)
+        n = len(pts)
+        sel = self.rng.choice(n, self.max_points,
+                              replace=n < self.max_points)
+        g = min(len(boxes), self.max_gt)
+        gt_boxes = np.zeros((self.max_gt, 7), np.float32)
+        gt_velocity = np.zeros((self.max_gt, 2), np.float32)
+        gt_labels = np.zeros((self.max_gt,), np.int64)
+        gt_mask = np.zeros((self.max_gt,), bool)
+        gt_boxes[:g] = boxes[:g]
+        gt_velocity[:g] = velo[:g]
+        gt_labels[:g] = labels[:g]
+        gt_mask[:g] = True
+        return dict(points=pts[sel],
+                    point_mask=np.ones((self.max_points,), bool),
+                    gt_boxes=gt_boxes, gt_velocity=gt_velocity,
+                    gt_labels=gt_labels, gt_mask=gt_mask)
+
+    def evaluate(self, results):
+        """Per-sample detections (lidar frame) -> hermetic NDS dict.
+
+        `results[i]`: dict with 'boxes' (N, 7) or (N, 9 incl. vx, vy),
+        'scores', 'labels', optional 'mask'."""
+        preds, gts = [], []
+        for info, det in zip(self.infos, results):
+            m = np.asarray(det.get(
+                'mask', np.ones(len(det['scores']), bool))).astype(bool)
+            b = np.asarray(det['boxes'], np.float32)[m]
+            if b.shape[1] == 7:
+                b = np.concatenate(
+                    [b, np.zeros((len(b), 2), np.float32)], axis=1)
+            preds.append(dict(boxes=b,
+                              scores=np.asarray(det['scores'])[m],
+                              labels=np.asarray(det['labels'])[m],
+                              attrs=None))
+            boxes, labels, velo = self._annotations(info)
+            gts.append(dict(
+                boxes=np.concatenate([boxes, velo], axis=1),
+                labels=labels))
+        return nuscenes_detection_metrics(preds, gts,
+                                          classes=list(self.CLASSES))
 
 
 def _ap_from_matches(scores, matched, num_gt):

@@ -164,7 +164,7 @@ def _gn_f(x, scale, bias, g, eps=1e-5):
                          eps)[0]
 
 
-def packed_hourglass(x_pv, hp, groups=32, interpret=False):
+def packed_hourglass(x_pv, hp, groups=32, mults=None, interpret=False):
     """3D Hourglass + caller residual on the z-packed layout
     (reference dfm_backbone.py hourglass loop `cost0 = cost0 +
     hg(cost0)`; dense equivalent models/layers.py Hourglass:261-300,
@@ -178,26 +178,42 @@ def packed_hourglass(x_pv, hp, groups=32, interpret=False):
     moments (pack_parity8). The half/quarter-resolution interior runs
     dense C=64 XLA convs (already near the matmul roofline there).
     `hp` = HourglassParams(). Single-sample, inference-only.
+
+    `mults` = (m0, m1, m2) per-scale z-slice multiplicity vectors for
+    a REDUCED-depth volume (ops/reduced_depth.py): every GroupNorm
+    weights its statistics so they equal the full-volume stats — this
+    is the RedHourglass semantics on the packed chain (the mono
+    branch).
     """
     from ...ops.pallas.conv_chain import (conv_s2_p2d, convt1_parity,
                                           gn_dense_from_partials,
                                           gn_from_partials, pack_parity8)
+    m0 = m1 = m2 = None
+    if mults is not None:
+        m0, m1, m2 = [np.asarray(m, np.float32) for m in mults]
     k0, s0, b0 = hp['cn0']
     c2 = k0.shape[-1]
     c = k0.shape[-2]
     g2 = _gn_groups(c2, groups)
     d2, h2, w2 = x_pv.d // 2, x_pv.h // 2, x_pv.w // 2
     u0, ps0 = conv_s2_p2d(x_pv, k0, interpret=interpret)
-    out = gn_dense_from_partials(u0, ps0, d2 * h2 * w2, s0, b0, g2,
-                                 relu=True, cout=c2)
+    cnt1 = (float(m1.sum()) if m1 is not None else d2) * h2 * w2
+    out = gn_dense_from_partials(u0, ps0, cnt1, s0, b0, g2,
+                                 relu=True, cout=c2, zw=m1, d=d2)
     k1, s1, b1 = hp['cn1']
-    pre = jax.nn.relu(_gn_f(_conv3d_f(out, k1), s1, b1, g2))
+
+    def gn2(x, sc, bi, mult):
+        if mult is None:
+            return _gn_f(x, sc, bi, g2)
+        return _weighted_gn(x[None], mult, sc, bi, g2, x.dtype)[0]
+
+    pre = jax.nn.relu(gn2(_conv3d_f(out, k1), s1, b1, m1))
     k2, s2_, b2 = hp['cn2']
-    mid = jax.nn.relu(_gn_f(_conv3d_f(pre, k2, (2, 2, 2)), s2_, b2, g2))
+    mid = jax.nn.relu(gn2(_conv3d_f(pre, k2, (2, 2, 2)), s2_, b2, m2))
     k3, s3, b3 = hp['cn3']
-    mid = jax.nn.relu(_gn_f(_conv3d_f(mid, k3), s3, b3, g2))
+    mid = jax.nn.relu(gn2(_conv3d_f(mid, k3), s3, b3, m2))
     kt0, st0, bt0 = hp['ct0']
-    post = _gn_f(_convt3d_f(mid, kt0), st0, bt0, g2)
+    post = gn2(_convt3d_f(mid, kt0), st0, bt0, m1)
     post = jax.nn.relu(post + pre)
     kt1, st1, bt1 = hp['ct1']
     par = convt1_parity(post, kt1.astype(post.dtype))
@@ -205,7 +221,7 @@ def packed_hourglass(x_pv, hp, groups=32, interpret=False):
     # GN affine of the transpose conv + the hourglass residual
     # (x + res) in one fused pass, staying packed
     return gn_from_partials(ps1, u1, st1, bt1, _gn_groups(c, groups),
-                            extra=x_pv.data)
+                            extra=x_pv.data, zw=m0)
 
 
 class PredStereoPacked(nn.Module):
@@ -510,6 +526,7 @@ class DfMBackbone(nn.Module):
                   and (packed_interp or jax.default_backend() == 'tpu'))
         packed_hg = False
         stereo_pred_feat = None
+        mono_pred_feat = None
 
         def hg_stack(cur, tag):
             for i in range(self.num_hg):
@@ -635,7 +652,54 @@ class DfMBackbone(nn.Module):
             # ops/reduced_depth.py); falls back to dense for short D
             mono_plan = make_reduced_plan(d, e=mono_band.lo.shape[1]) \
                 if self.num_hg == 1 else None
-            if mono_plan is not None:
+            # packed-chain mono: the reduced volume through the same
+            # Pallas kernels as the stereo trunk, with multiplicity-
+            # WEIGHTED GroupNorm finishers (exact RedHourglass
+            # semantics; the kernels' per-(block, lane-group) partial
+            # moments expose per-z-slice sums)
+            packed_mono = (packed and mono_plan is not None
+                           and mono_plan.dr % 4 == 0
+                           and os.environ.get('DFM_PACKED_MONO', '1')
+                           != '0')
+            if packed_mono:
+                from ...ops.pallas.conv_chain import (conv_p2p, pack_vol,
+                                                      unpack_affine_res,
+                                                      unpack_vol)
+                red = _assemble_reduced(mono_band, mono_plan)
+                red = red.astype(self.dtype)
+                hpm = HourglassParams(self.cv_channels,
+                                      name='hg_mono_0')()
+                pred_m = PredStereoPacked(self.cv_channels, self.dtype,
+                                          name='pred_mono')
+                kpm, spms, spmb = pred_m.convnorm_params()
+                gm = _gn_groups(self.cv_channels, 32)
+                mults = (mono_plan.mult(0), mono_plan.mult(1),
+                         mono_plan.mult(2))
+
+                def _mono_chain(red_i):
+                    pv = pack_vol(red_i, phase=0,
+                                  interpret=packed_interp)
+                    x_pv = packed_hourglass(pv, hpm, mults=mults,
+                                            interpret=packed_interp)
+                    upm, psm = conv_p2p(x_pv, kpm,
+                                        interpret=packed_interp)
+                    pf = unpack_affine_res(
+                        upm, psm, spms, spmb, gm, relu=True,
+                        zw=mults[0], interpret=packed_interp)
+                    return unpack_vol(x_pv, interpret=packed_interp), pf
+
+                def _mono_zeros(red_i):
+                    z = jnp.zeros(red.shape[1:], self.dtype)
+                    return z, z
+
+                outs_m = [jax.lax.cond(
+                    jnp.isfinite(red[i, 0, 0, 0, 0]),
+                    _mono_chain, _mono_zeros, red[i])
+                    for i in range(red.shape[0])]
+                mono_red = jnp.stack([o[0] for o in outs_m])
+                mono_pred_feat = jnp.stack([o[1] for o in outs_m])
+                mono_feats = mono_red[:, mono_plan.expand_idx]
+            elif mono_plan is not None:
                 red = _assemble_reduced(mono_band, mono_plan)
                 res = RedHourglass(self.cv_channels, dtype=self.dtype,
                                    name='hg_mono_0')(red, mono_plan,
@@ -680,7 +744,11 @@ class DfMBackbone(nn.Module):
             stereo_cost = DepthPredModule(
                 self.cv_channels, self.norm, self.dtype,
                 name='pred_stereo')(stereo_feats, train)
-        if mono_red is not None:
+        if mono_pred_feat is not None:
+            # the pred ConvNorm already ran inside the packed chain
+            mono_cost = pred_m.scalar(mono_pred_feat)
+            mono_cost = mono_cost[:, mono_plan.expand_idx]
+        elif mono_red is not None:
             mono_cost = RedDepthPredModule(
                 self.cv_channels, dtype=self.dtype,
                 name='pred_mono')(mono_red, mono_plan, train)

@@ -67,14 +67,15 @@ class FrustumToVoxel(nn.Module):
         # materializes (8.49 -> 8.64 fps; NOTES.md round-2 log).
         # DFM_NO_FRUSTUM_KERNEL=1 opts out.
         kernel_voxel = None
+        fused_voxel = None
         import os
         if separable and stereo_vol.dtype == jnp.bfloat16 and \
                 jax.default_backend() == 'tpu' and \
                 not os.environ.get('DFM_NO_FRUSTUM_KERNEL'):
             # Pallas group-matmul sampler (2.2x over the einsums);
             # batched OUTSIDE the vmap (ops/pallas/frustum_sample.py)
-            from ...ops.pallas.frustum_sample import \
-                frustum_stereo_sample_pallas
+            from ...ops.pallas.frustum_sample import (
+                attention_sample_pallas, frustum_stereo_sample_pallas)
             xs = np.ascontiguousarray(coors_3d[0, 0, :, 0])
             ys = np.ascontiguousarray(coors_3d[0, :, 0, 1])
             zs = np.ascontiguousarray(coors_3d[:, 0, 0, 2])
@@ -88,34 +89,82 @@ class FrustumToVoxel(nn.Module):
             # pred is effectively always true (finite grids); the cond
             # exists purely to isolate the custom call's schedule
             pred = jnp.isfinite(jnp.sum(uv[1]))
-            kernel_voxel = jax.lax.cond(
-                pred,
-                lambda a: frustum_stereo_sample_pallas(
-                    a[0], a[1], a[2], ds, pad_shape, g4),
-                lambda a: (jnp.zeros(
-                    (a[0].shape[0],) + coors_3d.shape[:3] +
-                    (a[0].shape[-1],), jnp.bfloat16),
-                    jnp.zeros((a[0].shape[0],) +
-                              coors_3d.shape[:3], bool)),
-                (stereo_vol, uv[0], uv[1]))
+            sm_b = dsf = None
             if use_atten:
-                from ...ops.pallas.frustum_sample import \
-                    attention_sample_pallas
                 sm_b = jax.vmap(lambda c: FS.build_fine_softmax_volume(
                     jax.lax.stop_gradient(c), self.up_factor,
                     pad_shape, dtype=jnp.bfloat16))(depth_cost)
                 dsf = FS.slab_depth_static(
                     xs, self.depth_min, self.depth_max,
                     depth_cost.shape[1] * self.up_factor)
-                kernel_att = jax.lax.cond(
+            fuse_cond = not os.environ.get('DFM_FRUSTUM_NO_FUSE')
+            if fuse_cond:
+                # ONE cond containing both kernels AND the glue (atten
+                # multiply, sem sample, concat): the cond boundary then
+                # carries a single bf16 volume instead of an unfused
+                # voxel + a full-grid f32 attention + valid mask
+                # (round-4 profile: ~4 ms of boundary materializations)
+                cs = sem_feat.shape[-1] if (self.cat_img_feature and
+                                            sem_feat is not None) else 0
+                cout = stereo_vol.shape[-1] + cs
+
+                def _fused(args):
+                    vol_b, u_b, v_b, sm_bb, sem_b = args
+                    voxel, valid2d = frustum_stereo_sample_pallas(
+                        vol_b, u_b, v_b, ds, pad_shape, g4)
+                    att = None
+                    if use_atten:
+                        att = attention_sample_pallas(
+                            sm_bb, u_b, v_b, dsf, pad_shape)[0]
+                        att = att.astype(voxel.dtype)[..., None]
+                    if self.stereo_atten_feat:
+                        voxel = voxel * att
+                    if cs:
+                        voxel2d = jax.vmap(
+                            lambda s, u, v, m: FS.separable_sem_sample(
+                                s, u, v, pad_shape, m))(
+                            sem_b, u_b, v_b, valid2d)
+                        if self.sem_atten_feat:
+                            voxel2d = voxel2d * att
+                        voxel = jnp.concatenate([voxel, voxel2d],
+                                                axis=-1)
+                    return voxel
+
+                def _fzeros(args):
+                    return jnp.zeros(
+                        (stereo_vol.shape[0],) + coors_3d.shape[:3] +
+                        (cout,), jnp.bfloat16)
+
+                sem_arg = sem_feat if cs else \
+                    jnp.zeros((stereo_vol.shape[0], 1, 1, 0),
+                              stereo_vol.dtype)
+                sm_arg = sm_b if use_atten else \
+                    jnp.zeros((stereo_vol.shape[0], 1, 1, 1),
+                              jnp.bfloat16)
+                fused_voxel = jax.lax.cond(
+                    pred, _fused, _fzeros,
+                    (stereo_vol, uv[0], uv[1], sm_arg, sem_arg))
+            else:
+                kernel_voxel = jax.lax.cond(
                     pred,
-                    lambda a: attention_sample_pallas(
-                        a[0], a[1], a[2], dsf, pad_shape)[0],
-                    lambda a: jnp.zeros(
-                        (a[0].shape[0],) + coors_3d.shape[:3],
-                        jnp.float32),
-                    (sm_b, uv[0], uv[1]))
-                kernel_voxel = kernel_voxel + (kernel_att,)
+                    lambda a: frustum_stereo_sample_pallas(
+                        a[0], a[1], a[2], ds, pad_shape, g4),
+                    lambda a: (jnp.zeros(
+                        (a[0].shape[0],) + coors_3d.shape[:3] +
+                        (a[0].shape[-1],), jnp.bfloat16),
+                        jnp.zeros((a[0].shape[0],) +
+                                  coors_3d.shape[:3], bool)),
+                    (stereo_vol, uv[0], uv[1]))
+                if use_atten:
+                    kernel_att = jax.lax.cond(
+                        pred,
+                        lambda a: attention_sample_pallas(
+                            a[0], a[1], a[2], dsf, pad_shape)[0],
+                        lambda a: jnp.zeros(
+                            (a[0].shape[0],) + coors_3d.shape[:3],
+                            jnp.float32),
+                        (sm_b, uv[0], uv[1]))
+                    kernel_voxel = kernel_voxel + (kernel_att,)
 
         def single_separable(vol_i, cost_i, sem_i, c2i, pre=None):
             xs = np.ascontiguousarray(coors_3d[0, 0, :, 0])
@@ -187,7 +236,9 @@ class FrustumToVoxel(nn.Module):
 
         sem_in = sem_feat if sem_feat is not None else \
             jnp.zeros((stereo_vol.shape[0], 1, 1, 0), stereo_vol.dtype)
-        if kernel_voxel is not None:
+        if fused_voxel is not None:
+            vol = fused_voxel
+        elif kernel_voxel is not None:
             vol = jax.vmap(single)(stereo_vol, depth_cost, sem_in,
                                    cam2img, kernel_voxel)
         else:

@@ -273,20 +273,53 @@ def conv_p2p(pv: PackedVol, kernel, residual=False, interpret=False):
     return PackedVol(out, 2 - pv.phase, pv.d, pv.h, pv.w, pv.th), ps
 
 
+def fold_ps_weighted(ps, zw, phase, d, cw=C):
+    """Fold per-(block, lane) kernel partial moments to per-channel
+    sums with a per-z-slice weight vector (multiplicity-weighted
+    GroupNorm; ops/reduced_depth.py).
+
+    ps: (NB, ..., 2, L) — lane l of block k holds z slice
+    gpb*k + l//cw - phase where gpb = L//cw lane groups per block.
+    zw: (d,) f32 weights. Returns (s, s2, wsum) with s/s2 per-channel
+    (cw,) and wsum = sum(zw).
+    """
+    gpb = L // cw
+    assert gpb == 4 or phase == 0   # the gpb=2 (conv_s2) layout is
+    nb = ps.shape[0]                # always phase-free
+    zwf = np.asarray(zw, np.float32)
+    wmat = np.zeros((nb, gpb), np.float32)
+    for k in range(nb):
+        for gg in range(gpb):
+            z = gpb * k + gg - phase
+            if 0 <= z < d:
+                wmat[k, gg] = zwf[z]
+    w = jnp.asarray(np.repeat(wmat, cw, axis=1))          # (NB, L)
+    red_axes = tuple(range(1, ps.ndim - 2))
+    pss = ps.sum(axis=red_axes) if red_axes else ps       # (NB, 2, L)
+    s = (pss[:, 0, :] * w).sum(axis=0).reshape(gpb, cw).sum(axis=0)
+    s2 = (pss[:, 1, :] * w).sum(axis=0).reshape(gpb, cw).sum(axis=0)
+    return s, s2, float(zwf.sum())
+
+
 def gn_from_partials(ps, pv: PackedVol, scale, bias, num_groups,
-                     eps=1e-5, relu=False, extra=None):
+                     eps=1e-5, relu=False, extra=None, zw=None):
     """Finish GroupNorm from kernel partial moments + one fused
     masked affine pass over the packed volume (XLA).
 
     ps: (NB, NH, 2, 128) from conv_p2p. Matches models/layers.py
     GroupNorm semantics (f32 stats, var = E[x^2] - E[x]^2, folded
     scale/bias). `extra` (same-phase PackedVol data) is added AFTER the
-    affine (residual whose values must not be normalized).
+    affine (residual whose values must not be normalized). `zw` (d,)
+    gives per-z-slice multiplicity weights (reduced-depth volumes).
     """
     g = num_groups
-    s = ps[..., 0, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
-    s2 = ps[..., 1, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
-    cnt = pv.d * pv.h * pv.w * (C // g)
+    if zw is not None:
+        s, s2, wsum = fold_ps_weighted(ps, zw, pv.phase, pv.d)
+        cnt = wsum * pv.h * pv.w * (C // g)
+    else:
+        s = ps[..., 0, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
+        s2 = ps[..., 1, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
+        cnt = pv.d * pv.h * pv.w * (C // g)
     mean = s.reshape(g, C // g).sum(axis=1) / cnt
     var = s2.reshape(g, C // g).sum(axis=1) / cnt - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
@@ -427,12 +460,26 @@ def _pack_call(x, phase=0, th=8, interpret=False):
     return out
 
 
-def pack_vol(x, phase=0, th=8, interpret=False):
+def default_th(h):
+    """Row tile for pack_vol: DFM_PACKED_TH env override, else 8.
+    (th=16 halves the per-program halo DMA but the double-buffered
+    (th+4, WP, 128) input windows then exceed the 16 MB VMEM scoped
+    limit at production W; measured th=8 vs th=10 is a wash.)"""
+    import os
+    env = os.environ.get('DFM_PACKED_TH')
+    if env and h % int(env) == 0:
+        return int(env)
+    return 8
+
+
+def pack_vol(x, phase=0, th=None, interpret=False):
     """(D, H, W, 32) -> PackedVol via MXU lane placement.
 
     D % 4 == 0, H % th == 0, W % 16 == 0 required.
     """
     d, h, w, c = x.shape
+    if th is None:
+        th = default_th(h)
     assert c == C and d % G == 0 and h % th == 0 and w % 16 == 0, x.shape
     return PackedVol(_pack_call(x, phase, th, interpret), phase, d, h, w, th)
 
@@ -589,7 +636,7 @@ def _unpack_ar_call(u, y, sc, bs, th, h, w, relu, res, interpret=False):
 
 def unpack_affine_res(u_pv: PackedVol, ps, scale, bias, num_groups,
                       res_pv: PackedVol = None, relu=False, eps=1e-5,
-                      interpret=False):
+                      zw=None, interpret=False):
     """Fused chain exit: dense = [relu](GN_affine(u)) (+ res).
 
     Finishes GroupNorm from `ps` partials and unpacks in one kernel.
@@ -598,14 +645,19 @@ def unpack_affine_res(u_pv: PackedVol, ps, scale, bias, num_groups,
     to u's block alignment in-kernel. With a residual, u_pv must be
     phase 0 (so the residual phase-2 neighbor blocks k, k+1 both
     exist); without one, phase 2 is also accepted (the z-pad slices
-    are cut after the unpack).
+    are cut after the unpack). `zw` (d,) = per-z-slice multiplicity
+    weights for the GN stats (reduced-depth volumes).
     """
     assert u_pv.phase == 0 or res_pv is None, \
         'unpack_affine_res residuals want a phase-0 conv output'
     g = num_groups
-    s = ps[..., 0, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
-    s2 = ps[..., 1, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
-    cnt = u_pv.d * u_pv.h * u_pv.w * (C // g)
+    if zw is not None:
+        s, s2, wsum = fold_ps_weighted(ps, zw, u_pv.phase, u_pv.d)
+        cnt = wsum * u_pv.h * u_pv.w * (C // g)
+    else:
+        s = ps[..., 0, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
+        s2 = ps[..., 1, :].sum(axis=(0, 1)).reshape(G, C).sum(axis=0)
+        cnt = u_pv.d * u_pv.h * u_pv.w * (C // g)
     mean = s.reshape(g, C // g).sum(axis=1) / cnt
     var = s2.reshape(g, C // g).sum(axis=1) / cnt - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
@@ -803,15 +855,20 @@ def conv_s2_p2d(pv: PackedVol, kernel, th2=8, interpret=False):
 
 
 def gn_dense_from_partials(x, ps, count, scale, bias, num_groups,
-                           eps=1e-5, relu=True, cout=2 * C):
+                           eps=1e-5, relu=True, cout=2 * C, zw=None,
+                           d=None):
     """Finish GroupNorm on a dense volume from kernel partial moments
     (per-lane sums folded to per-channel). `count` = number of
-    elements per channel over the normalized region."""
+    elements per channel over the normalized region (with `zw`:
+    per-z-slice-weighted count = sum(zw) * H * W)."""
     g = num_groups
-    s = ps[..., 0, :].sum(axis=tuple(range(ps.ndim - 2))
-                          ).reshape(-1, cout).sum(axis=0)
-    s2 = ps[..., 1, :].sum(axis=tuple(range(ps.ndim - 2))
-                           ).reshape(-1, cout).sum(axis=0)
+    if zw is not None:
+        s, s2, _ = fold_ps_weighted(ps, zw, 0, d, cw=cout)
+    else:
+        s = ps[..., 0, :].sum(axis=tuple(range(ps.ndim - 2))
+                              ).reshape(-1, cout).sum(axis=0)
+        s2 = ps[..., 1, :].sum(axis=tuple(range(ps.ndim - 2))
+                               ).reshape(-1, cout).sum(axis=0)
     cnt = count * (cout // g)
     mean = s.reshape(g, cout // g).sum(axis=1) / cnt
     var = s2.reshape(g, cout // g).sum(axis=1) / cnt - mean * mean

@@ -296,3 +296,92 @@ def test_grouped_convgn3d_matches_convnorm_pool():
     out8 = grouped_convgn3d(x, k, sc, bs, pool_z=1, num_groups=8)
     np.testing.assert_allclose(np.asarray(out8), np.asarray(ref8),
                                atol=2e-5)
+
+
+def test_packed_hourglass_weighted_vs_red_hourglass():
+    """packed_hourglass(mults) + pred exit == RedHourglass + weighted
+    pred ConvNorm on identical params (multiplicity-weighted GroupNorm
+    semantics of the reduced-depth mono branch; ops/reduced_depth.py)."""
+    from dfm_tpu.models.backbones.dfm_backbone import (
+        HourglassParams, RedConvNorm, RedHourglass, packed_hourglass)
+
+    class _Plan:
+        def __init__(self, mults):
+            self._m = mults
+
+        def mult(self, scale):
+            return self._m[scale]
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(D, H, W, 32).astype(np.float32)
+    m0 = rng.randint(1, 7, size=D).astype(np.float32)
+    m1 = rng.randint(1, 7, size=D // 2).astype(np.float32)
+    m2 = rng.randint(1, 7, size=D // 4).astype(np.float32)
+    plan = _Plan({0: m0, 1: m1, 2: m2})
+
+    red = RedHourglass(32)
+    vh = red.init(jax.random.PRNGKey(2), jnp.asarray(x)[None], plan)
+    res = red.apply(vh, jnp.asarray(x)[None], plan)
+    ref = np.asarray(x + res[0])
+    pred = RedConvNorm(32)
+    vp = pred.init(jax.random.PRNGKey(3), jnp.asarray(ref)[None], m0)
+    ref_pred = np.asarray(pred.apply(vp, jnp.asarray(ref)[None], m0)[0])
+
+    hp = HourglassParams(32).apply({'params': vh['params']})
+    pv = pack_vol_ref(jnp.asarray(x), phase=0)
+    out_pv = packed_hourglass(pv, hp, mults=(m0, m1, m2),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(unpack_vol_ref(out_pv)), ref,
+                               atol=2e-3, rtol=1e-3)
+
+    # pred ConvNorm on the packed chain with the weighted exit
+    kp = vp['params']['Conv_0']['kernel']
+    sp = vp['params']['GroupNorm_0']['scale']
+    bp = vp['params']['GroupNorm_0']['bias']
+    up, psp = conv_p2p(out_pv, kp, interpret=True)
+    pf = unpack_affine_res(up, psp, sp, bp, 32, relu=True, zw=m0,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(pf), ref_pred, atol=2e-3,
+                               rtol=1e-3)
+
+
+def test_backbone_packed_mono_vs_red(monkeypatch):
+    """Integrated DfMBackbone at a depth deep enough for a real
+    ReducedPlan (d=48 -> dr=44): packed mono chain == RedHourglass
+    reduced path."""
+    from dfm_tpu.models.backbones.dfm_backbone import DfMBackbone
+    rng = np.random.RandomState(13)
+    b, hf, wf, c = 1, 64, 64, 32
+    d = 48
+    cur = jnp.asarray(rng.randn(b, hf, wf, c).astype(np.float32))
+    prev = jnp.asarray(rng.randn(b, hf, wf, c).astype(np.float32))
+    depths = jnp.linspace(2.0, 20.0, d)
+    cam = np.eye(4, dtype=np.float32)
+    cam[0, 0] = cam[1, 1] = 50.0
+    cam[0, 2], cam[1, 2] = wf / 2, hf / 2
+    cam2img = jnp.tile(jnp.asarray(cam)[None], (b, 1, 1))
+    c2p = np.eye(4, dtype=np.float32)
+    c2p[0, 3] = 0.3
+    cur2prev = jnp.tile(jnp.asarray(c2p)[None], (b, 1, 1))
+
+    def run():
+        mdl = DfMBackbone(in_channels=c, cv_channels=32,
+                          cost_sample_factor=4, num_depth_bins_out=d,
+                          norm='gn', dtype=jnp.bfloat16)
+        v = mdl.init(jax.random.PRNGKey(0), cur, prev, depths, cam2img,
+                     cur2prev)
+        out = mdl.apply(v, cur, prev, depths, cam2img, cur2prev)
+        return [np.asarray(o, np.float32) for o in out]
+
+    monkeypatch.setenv('DFM_PACKED', 'interpret')
+    monkeypatch.setenv('DFM_PACKED_MONO', '0')
+    red_path = run()
+    monkeypatch.setenv('DFM_PACKED_MONO', '1')
+    packd = run()
+    for a, b_ in zip(red_path, packd):
+        assert a.shape == b_.shape
+        np.testing.assert_allclose(a, b_, atol=0.15, rtol=0.15)
+
+
+test_backbone_packed_mono_vs_red = pytest.mark.slow(
+    test_backbone_packed_mono_vs_red)

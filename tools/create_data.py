@@ -80,15 +80,32 @@ def main():
             print(f'wrote {len(infos)} infos -> {out}')
         return
     if args.dataset == 'nuscenes':
-        from dfm_tpu.data.nuscenes_converter import \
-            build_nuscenes_mono_infos
-        for split in args.splits:
-            infos = build_nuscenes_mono_infos(args.root, split)
+        # LiDAR info path: devkit-free (raw JSON tables), reference
+        # create_nuscenes_infos semantics
+        from dfm_tpu.data.nuscenes_converter import create_nuscenes_infos
+        version = args.version if args.version.startswith('v1.0') \
+            else 'v1.0-trainval'
+        tr, va = create_nuscenes_infos(args.root, version,
+                                       max_sweeps=args.max_sweeps)
+        for split, data in (('train', tr), ('val', va)):
             out = os.path.join(args.root,
-                               f'nuscenes_infos_mono_{split}.pkl')
+                               f'nuscenes_infos_{split}.pkl')
             with open(out, 'wb') as f:
-                pickle.dump(infos, f)
-            print(f'wrote {len(infos)} infos -> {out}')
+                pickle.dump(data, f)
+            print(f'wrote {len(data["infos"])} infos -> {out}')
+        # mono/2D export path (needs the devkit's image-level walk)
+        try:
+            from dfm_tpu.data.nuscenes_converter import \
+                build_nuscenes_mono_infos
+            for split in args.splits:
+                infos = build_nuscenes_mono_infos(args.root, split)
+                out = os.path.join(args.root,
+                                   f'nuscenes_infos_mono_{split}.pkl')
+                with open(out, 'wb') as f:
+                    pickle.dump(infos, f)
+                print(f'wrote {len(infos)} infos -> {out}')
+        except SystemExit as e:
+            print(f'mono export skipped: {e}')
         return
 
     from dfm_tpu.data.kitti import build_kitti_infos

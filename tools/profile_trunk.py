@@ -173,6 +173,43 @@ def main():
                     {'params': params['pred_mono']}, mono_red, plan)
                 return mono_cost[:, plan.expand_idx]
             t = chain_time(f, (cur2d,))
+        elif s == 'mono_packed':
+            from dfm_tpu.ops.band_volume import band_add, band_from_const
+            from dfm_tpu.ops.pallas.conv_chain import (conv_p2p, pack_vol,
+                                                       unpack_affine_res)
+            from dfm_tpu.ops.reduced_depth import make_reduced_plan
+            plan = make_reduced_plan(d, e=2)
+            hpm = dbb.HourglassParams(cfg.cv_channels).apply(
+                {'params': params['hg_mono_0']})
+            kpm = params['pred_mono']['ConvNorm_0']['Conv_0']['kernel']
+            spms = params['pred_mono']['ConvNorm_0']['GroupNorm_0']['scale']
+            spmb = params['pred_mono']['ConvNorm_0']['GroupNorm_0']['bias']
+            mults = (plan.mult(0), plan.mult(1), plan.mult(2))
+            scal = dbb.Conv3DScalar(dtype=dt)
+            vsc = {'params': params['pred_mono']['Conv_0']}
+
+            def f(cur):
+                m0 = dbb.BandConvNorm(cfg.cv_channels, dtype=dt).apply(
+                    {'params': params['dres0_mono']},
+                    band_from_const(cur, d))
+                m1 = dbb.BandConvNorm(cfg.cv_channels, act=False,
+                                      dtype=dt).apply(
+                    {'params': params['dres1_mono']}, m0)
+                red = dbb._assemble_reduced(band_add(m1, m0), plan)
+
+                def one(red_i):
+                    pv = pack_vol(red_i, phase=0)
+                    x_pv = dbb.packed_hourglass(pv, hpm, mults=mults)
+                    upm, psm = conv_p2p(x_pv, kpm)
+                    return unpack_affine_res(upm, psm, spms, spmb, 32,
+                                             relu=True, zw=mults[0])
+                pf = jax.lax.cond(
+                    jnp.isfinite(red[0, 0, 0, 0, 0]), one,
+                    lambda r: jnp.zeros(red.shape[1:], red.dtype),
+                    red[0])
+                cost = scal.apply(vsc, pf[None])
+                return cost[:, plan.expand_idx]
+            t = chain_time(f, (cur2d,))
         elif s == 'mono_stem':
             from dfm_tpu.ops.band_volume import band_add, band_from_const
             from dfm_tpu.ops.reduced_depth import make_reduced_plan
