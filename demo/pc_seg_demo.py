@@ -28,6 +28,8 @@ def main():
     p.add_argument('--out-dir', default='demo_out')
     p.add_argument('--load-dim', type=int, default=6,
                    help='columns per point in the .bin (xyz + feats)')
+    p.add_argument('--cfg-options', nargs='*', default=None,
+                   help='config deep-merge overrides (key=val)')
     args = p.parse_args()
 
     import jax
@@ -37,7 +39,8 @@ def main():
     from dfm_tpu.runtime.config import load_config
     from dfm_tpu.visualization.html_vis import export_scene_html
 
-    cfg = load_config(args.config)
+    from dfm_tpu.runtime.config import merge_options
+    cfg = merge_options(load_config(args.config), args.cfg_options)
     handle = build_detector(cfg.model.to_dict())
     scfg = handle.cfg
 

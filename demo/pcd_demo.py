@@ -32,6 +32,8 @@ def main():
     p.add_argument('--load-dim', type=int, default=4,
                    help='columns per point in the .bin')
     p.add_argument('--max-points', type=int, default=32768)
+    p.add_argument('--cfg-options', nargs='*', default=None,
+                   help='config deep-merge overrides (key=val)')
     args = p.parse_args()
 
     import jax
@@ -42,7 +44,8 @@ def main():
     from dfm_tpu.visualization.html_vis import export_scene_html
     from dfm_tpu.visualization.show_result import show_result_meshlab
 
-    cfg = load_config(args.config)
+    from dfm_tpu.runtime.config import merge_options
+    cfg = merge_options(load_config(args.config), args.cfg_options)
     handle = build_detector(cfg.model.to_dict())
     adapter = get_adapter(cfg.model.type)
 
