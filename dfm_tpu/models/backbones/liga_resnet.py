@@ -15,7 +15,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..layers import apply_norm
+from ..layers import Conv2DStride2, apply_norm
 
 STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
 
@@ -68,10 +68,10 @@ class LIGAResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
-        # stem: 7x7 stride-2
-        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
-                    padding=[(3, 3), (3, 3)], use_bias=False,
-                    dtype=self.dtype)(x)
+        # stem: 7x7 stride-2 (space-to-depth lowered on TPU bf16 —
+        # layers.Conv2DStride2; param tree identical to nn.Conv)
+        x = Conv2DStride2(self.base_channels, (7, 7),
+                          dtype=self.dtype, name='Conv_0')(x)
         x = apply_norm(self, x, self.norm, 32, train, dtype=self.dtype)
         x = nn.relu(x)
         if self.with_max_pool:

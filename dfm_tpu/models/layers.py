@@ -194,6 +194,87 @@ def grouped_convgn3d(x, kernel, scale, bias, pool_z=1, eps=1e-5,
     return y.reshape(b, d, h, w, cout)
 
 
+class Conv2D(nn.Module):
+    """2D conv with a lowering-aware backend; param tree == nn.Conv.
+
+    For narrow-channel stride-1 convs (max(Ci, Co) <= 32, k 1x1/3x3,
+    bf16, W % 4 == 0, TPU) XLA's conv occupies <= 1/4 of the MXU lanes
+    and reaches 1-6 TF/s at DfM full-image shapes; the W-folded banded
+    lowering (ops/wfold.py) runs the same conv at full occupancy
+    (measured v5e @320x1280: 3x3 32->32 0.94 -> 0.22 ms, 3->32
+    0.63 -> 0.08, 1x1 32->32 0.68 -> 0.12). Everything else takes the
+    plain nn.Conv-equivalent path. DFM_WFOLD=0 opts out.
+    """
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+        ci = x.shape[-1]
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (*self.kernel_size, ci, self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        lead = x.shape[:-3]            # nn.Conv-style extra batch dims
+        x = x.reshape((-1,) + x.shape[-3:])
+        fold = (self.kernel_size in ((1, 1), (3, 3))
+                and self.dtype == jnp.bfloat16
+                and x.shape[-2] % 4 == 0
+                and max(ci, self.features) <= 32
+                and os.environ.get('DFM_WFOLD', '1') != '0'
+                and jax.default_backend() == 'tpu')
+        if fold:
+            from ..ops.wfold import wfold_conv2d
+            y = wfold_conv2d(x, k, 128 // max(32, ci, self.features))
+        else:
+            ky, kx = self.kernel_size
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(ky // 2, ky // 2), (kx // 2, kx // 2)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.use_bias:
+            y = y + self.param('bias', nn.initializers.zeros,
+                               (self.features,), jnp.float32
+                               ).astype(self.dtype)
+        return y.reshape(lead + y.shape[-3:])
+
+
+class Conv2DStride2(nn.Module):
+    """Odd-k stride-2 2D conv, space-to-depth lowered when it wins;
+    param tree == nn.Conv. Tiny-Ci stride-2 stems (LIGA 7x7 3->64)
+    leave the MXU contraction at k*k*Ci ~ 147 and run at <3 TF/s; the
+    2x2 pixel fold (ops/wfold.py s2d_conv2d_s2) is exact and lifts the
+    contraction 4x. DFM_WFOLD=0 opts out."""
+    features: int
+    kernel_size: Tuple[int, int] = (7, 7)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+        ci = x.shape[-1]
+        k = self.kernel_size[0]
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (*self.kernel_size, ci, self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        kk = kernel.astype(self.dtype)
+        fold = (k % 2 == 1 and self.kernel_size[1] == k
+                and self.dtype == jnp.bfloat16 and ci <= 8
+                and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0
+                and os.environ.get('DFM_WFOLD', '1') != '0'
+                and jax.default_backend() == 'tpu')
+        if fold:
+            from ..ops.wfold import s2d_conv2d_s2
+            return s2d_conv2d_s2(x, kk)
+        return jax.lax.conv_general_dilated(
+            x, kk, (2, 2), [(k // 2, k // 2)] * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class ConvNorm(nn.Module):
     """Conv (2D or 3D by kernel rank) + norm + optional ReLU."""
     features: int
@@ -214,6 +295,12 @@ class ConvNorm(nn.Module):
                           self.strides or (1, 1, 1),
                           use_bias=self.use_bias, dtype=self.dtype,
                           name='Conv_0')(x)
+        elif (len(self.kernel_size) == 2
+              and self.strides in (None, (1, 1))
+              and self.dilation is None):
+            x = Conv2D(self.features, tuple(self.kernel_size),
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       name='Conv_0')(x)
         else:
             x = nn.Conv(
                 self.features, self.kernel_size,

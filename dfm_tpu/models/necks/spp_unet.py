@@ -16,7 +16,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..layers import ConvNorm, UpconvModule
+from ..layers import Conv2D, ConvNorm, UpconvModule
 from ...ops.resize import avg_pool_2d, resize_linear
 
 
@@ -61,8 +61,10 @@ class SPPUNetNeck(nn.Module):
                 [stereo, feats[1], feats[0]], train)
         stereo = ConvNorm(self.stereo_channels[0], (3, 3), norm=self.norm,
                           dtype=self.dtype)(stereo, train)
-        stereo = nn.Conv(self.stereo_channels[1], (1, 1), use_bias=False,
-                         dtype=self.dtype)(stereo)
+        # Conv2D: W-folded lowering for the narrow full-res 1x1
+        # (layers.py Conv2D; param tree identical to nn.Conv)
+        stereo = Conv2D(self.stereo_channels[1], (1, 1), use_bias=False,
+                        dtype=self.dtype, name='Conv_0')(stereo)
 
         sem = None
         if self.cat_img_feature:

@@ -135,30 +135,39 @@ def _conv_kernel(x_ref, wa_ref, wb_ref, out_ref, ps_ref, bufs, sems, *,
                                    bufs.at[sl, 1], sems.at[sl, 1])
         return ca, cb
 
-    @pl.when(p == 0)
+    is_pad = (hi == 0) | (hi == nh - 1)
+
+    def pad_prog(prog):
+        hh = jax.lax.rem(prog, nh)
+        return (hh == 0) | (hh == nh - 1)
+
+    # pad row-tiles only write zeros — never issue (or wait on) their
+    # DMAs. prog 0 is always a pad tile, so _first is a no-op kept only
+    # for grids whose first tile could become real.
+    @pl.when((p == 0) & jnp.logical_not(pad_prog(0)))
     def _first():
         for c in issue(0, 0):
             c.start()
 
-    @pl.when(p + 1 < n)
+    @pl.when((p + 1 < n) & jnp.logical_not(pad_prog(p + 1)))
     def _next():
         for c in issue(p + 1, jax.lax.rem(p + 1, 2)):
             c.start()
 
-    for c in issue(p, slot):
-        c.wait()
+    @pl.when(jnp.logical_not(is_pad))
+    def _wait():
+        for c in issue(p, slot):
+            c.wait()
 
-    is_pad = (hi == 0) | (hi == nh - 1)
+        # halo blocks that fall off the input (true zero-pad slices):
+        # zero the buffer so the banded matmuls stay uniform
+        @pl.when(k + off_a < 0)
+        def _za():
+            bufs[slot, 0] = jnp.zeros_like(bufs[slot, 0])
 
-    # halo blocks that fall off the input (true zero-pad slices): zero
-    # the buffer so the banded matmuls stay uniform
-    @pl.when(k + off_a < 0)
-    def _za():
-        bufs[slot, 0] = jnp.zeros_like(bufs[slot, 0])
-
-    @pl.when(k + off_a + 1 > nbin - 1)
-    def _zb():
-        bufs[slot, 1] = jnp.zeros_like(bufs[slot, 1])
+        @pl.when(k + off_a + 1 > nbin - 1)
+        def _zb():
+            bufs[slot, 1] = jnp.zeros_like(bufs[slot, 1])
 
     @pl.when(jnp.logical_not(is_pad))
     def _compute():

@@ -61,10 +61,24 @@ def resize_linear(x, out_sizes, axes, align_corners=True):
         if in_size == out_size:
             continue
         w = interp_matrix(in_size, out_size, align_corners, x.dtype)
-        # full-precision contraction: the default (bf16) matmul precision
-        # visibly quantizes interpolation weights
+        # Precision: the default bf16 matmul pass visibly quantizes
+        # interpolation weights IF they are not bf16-representable. For
+        # the model's hot resizes (2x/4x integer upsampling: fracs are
+        # 0.25/0.5/0.75) the weights ARE exact bf16, and with a bf16
+        # input the MXU multiplies exactly and accumulates in f32 — so
+        # DEFAULT is bit-identical to HIGHEST at 1/6 the passes
+        # (measured: the neck upconv's HIGHEST resizes were a ~1 ms/
+        # frame sink). Keep HIGHEST whenever it could change the result.
+        wnp = _interp_matrix_np(in_size, out_size, align_corners)
+        import ml_dtypes
+        w_exact = bool(
+            np.all(wnp.astype(ml_dtypes.bfloat16).astype(np.float32)
+                   == wnp))
+        prec = (jax.lax.Precision.DEFAULT
+                if w_exact and x.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         x = jnp.tensordot(w, jnp.moveaxis(x, axis, 0), axes=((1,), (0,)),
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=prec)
         x = jnp.moveaxis(x, 0, axis)
     return x
 
